@@ -1,0 +1,125 @@
+"""Unit tests for core vector math and rotations vs closed forms."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rts_tpu.core import vec
+from rts_tpu.core.rotation import rot_axis_reversed, rot_z, rot_zyx, rotate_points
+
+
+class TestVec:
+    def test_sph_cart_roundtrip(self):
+        rng = np.random.default_rng(0)
+        azi = rng.uniform(-np.pi, np.pi, 100)
+        ele = rng.uniform(-np.pi / 2 + 1e-3, np.pi / 2 - 1e-3, 100)
+        cart = vec.sph_to_cart(azi, ele)
+        assert np.allclose(np.linalg.norm(cart, axis=-1), 1.0)
+        sph = vec.cart_to_sph(cart)
+        assert np.allclose(sph[..., 0], azi)
+        assert np.allclose(sph[..., 1], ele)
+
+    def test_reflect_law(self):
+        rng = np.random.default_rng(1)
+        i = vec.normalize3(jnp.asarray(rng.normal(size=(50, 3))))
+        n = vec.normalize3(jnp.asarray(rng.normal(size=(50, 3))))
+        r = vec.reflect3(i, n)
+        # Angle of incidence == angle of reflection; magnitude preserved.
+        assert np.allclose(vec.length3(r), 1.0)
+        assert np.allclose(vec.dot3(i, n), -vec.dot3(r, n))
+        # Sign of the normal must not matter (OptiX reflect).
+        assert np.allclose(r, vec.reflect3(i, -n))
+
+    def test_refract_snell(self):
+        # 45 degrees onto a flat interface, n2/n1 = 1.5.
+        i = vec.normalize3(jnp.array([[1.0, 0.0, -1.0]]))
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        r, ok = vec.refract3(i, n, jnp.array([1.5]))
+        assert bool(ok[0])
+        sin_in = np.sqrt(0.5)
+        sin_out = float(jnp.abs(r[0, 0]))  # x-component of unit refracted dir
+        assert np.isclose(sin_out, sin_in / 1.5)
+        assert r[0, 2] < 0  # continues downward
+
+    def test_refract_total_internal_reflection(self):
+        # Dense-to-rare at grazing angle: OptiX flips when dot(i, n) > 0, so
+        # exiting a medium means the ray travels along the normal.
+        i = vec.normalize3(jnp.array([[1.0, 0.0, 0.3]]))
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        # Going "up" through the surface from inside glass (n2/n1 = 1/1.5
+        # from caller's perspective => ior passed is target index when
+        # entering; here simulate exit with ior=1.5 and backface hit).
+        r, ok = vec.refract3(i, n, jnp.array([1.5 / 1.0]))
+        # sin_out = 1.5 * sin_in; sin_in = cos of angle to normal...
+        sin_in = np.linalg.norm([1.0, 0.0]) / np.linalg.norm([1.0, 0.0, 0.3])
+        if 1.5 * sin_in > 1:
+            assert not bool(ok[0])
+            assert np.allclose(r[0], 0.0)
+
+    def test_angle_in_range(self):
+        assert bool(vec.angle_in_range(0.0, -0.5, 0.5))
+        assert not bool(vec.angle_in_range(1.0, -0.5, 0.5))
+        # Wrap-around interval near pi.
+        assert bool(vec.angle_in_range(np.pi - 0.01, np.pi - 0.1, -np.pi + 0.1))
+        assert bool(vec.angle_in_range(-np.pi + 0.01, np.pi - 0.1, -np.pi + 0.1))
+        assert not bool(vec.angle_in_range(0.0, np.pi - 0.1, -np.pi + 0.1))
+        # Boundary exclusive (a*b >= 0 -> false in the reference).
+        assert not bool(vec.angle_in_range(0.5, -0.5, 0.5))
+
+    def test_wrap_angle(self):
+        xs = np.array([0.0, 3.5, -3.5, 7.0, -7.0, 2 * np.pi, -2 * np.pi])
+        w = np.asarray(vec.wrap_angle(xs))
+        assert np.all(w <= np.pi + 1e-12)
+        assert np.all(w >= -np.pi - 1e-12)
+        assert np.allclose(np.cos(w), np.cos(xs))
+        assert np.allclose(np.sin(w), np.sin(xs))
+
+
+class TestRotation:
+    def test_rot_zyx_orthonormal(self):
+        r = np.asarray(rot_zyx(0.3, -0.7, 1.2))
+        assert np.allclose(r @ r.T, np.eye(3), atol=1e-14)
+        assert np.isclose(np.linalg.det(r), 1.0)
+
+    def test_rot_zyx_composition_order(self):
+        # R = Rz @ Ry @ Rx (ray_tracer.cpp:162).
+        yaw, pitch, roll = 0.3, -0.7, 1.2
+        rx = np.array(
+            [[1, 0, 0], [0, np.cos(roll), -np.sin(roll)], [0, np.sin(roll), np.cos(roll)]]
+        )
+        ry = np.array(
+            [[np.cos(pitch), 0, np.sin(pitch)], [0, 1, 0], [-np.sin(pitch), 0, np.cos(pitch)]]
+        )
+        rz = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        assert np.allclose(np.asarray(rot_zyx(yaw, pitch, roll)), rz @ ry @ rx)
+
+    def test_scipy_cross_check(self):
+        pytest.importorskip("scipy")
+        from scipy.spatial.transform import Rotation as R
+
+        yaw, pitch, roll = 0.4, 0.25, -0.6
+        ours = np.asarray(rot_zyx(yaw, pitch, roll))
+        theirs = R.from_euler("ZYX", [yaw, pitch, roll]).as_matrix()
+        assert np.allclose(ours, theirs)
+
+    def test_rot_axis_reversed_is_transpose_of_standard(self):
+        # Flipping every sin sign of the Rodrigues matrix transposes it
+        # (i.e. rotates by -angle).
+        axis = np.array([0.0, 1.0, 0.0])
+        ang = 0.8
+        m = np.asarray(rot_axis_reversed(axis, ang))
+        # Standard rotation about y by `ang`:
+        std = np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+        )
+        assert np.allclose(m, std.T)
+
+    def test_rotate_points(self):
+        pts = np.eye(3)
+        r = rot_z(np.pi / 2)
+        out = np.asarray(rotate_points(pts, r))
+        assert np.allclose(out[0], [0, 1, 0], atol=1e-12)
+        assert np.allclose(out[1], [-1, 0, 0], atol=1e-12)
+        assert np.allclose(out[2], [0, 0, 1], atol=1e-12)
