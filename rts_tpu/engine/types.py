@@ -1,0 +1,158 @@
+"""Engine-facing data containers and static configuration.
+
+``DeviceScene`` is the HBM-resident flat scene with the per-triangle
+vectors the batched intersector needs precomputed once (cross products and
+dots that turn Möller–Trumbore into a handful of [R,3]x[3,T] matmuls —
+see rts_tpu.engine.intersect).
+
+``TraceConfig`` carries everything that must be static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rts_tpu.config import Parameters
+from rts_tpu.geometry.scene import SceneArrays
+from rts_tpu.physics.receiver_geom import RxSphereGeometry
+
+
+class DeviceScene(NamedTuple):
+    """Flat triangle soup + per-target attributes, as jnp arrays."""
+
+    tri_p0: jnp.ndarray  # [T, 3]
+    tri_e0: jnp.ndarray  # [T, 3]  p1 - p0
+    tri_e1: jnp.ndarray  # [T, 3]  p0 - p2
+    tri_n: jnp.ndarray  # [T, 3]  cross(e1, e0) — reference's geometric normal
+    tri_c1: jnp.ndarray  # [T, 3]  cross(p0, e1)
+    tri_c0: jnp.ndarray  # [T, 3]  cross(p0, e0)
+    tri_np0: jnp.ndarray  # [T]    dot(n, p0)
+    tri_corner_normals: jnp.ndarray  # [T, 3, 3]
+    tri_target: jnp.ndarray  # [T] int32 (-1 padding)
+    target_refl: jnp.ndarray  # [NT]
+    target_refr: jnp.ndarray  # [NT]
+    target_vel: jnp.ndarray  # [NT, 3]
+
+
+def derive_tri_arrays(tri_verts, tri_target=None, xp=jnp):
+    """Per-triangle precomputation from corner positions [T, 3, 3].
+
+    Kept separate so per-pulse vertex animation can re-derive these inside
+    jit (BVH-refit analogue of the per-pulse rebuild at ray_tracer.cpp:
+    1125-1130, but as pure recompute instead of a host rebuild).
+    """
+    p0 = tri_verts[:, 0]
+    e0 = tri_verts[:, 1] - tri_verts[:, 0]
+    e1 = tri_verts[:, 0] - tri_verts[:, 2]
+    n = xp.cross(e1, e0)
+    c1 = xp.cross(p0, e1)
+    c0 = xp.cross(p0, e0)
+    np0 = xp.sum(n * p0, axis=-1)
+    return p0, e0, e1, n, c1, c0, np0
+
+
+def scene_to_device(scene: SceneArrays, dtype=jnp.float32) -> DeviceScene:
+    tv = jnp.asarray(scene.tri_verts, dtype=dtype)
+    p0, e0, e1, n, c1, c0, np0 = derive_tri_arrays(tv)
+    return DeviceScene(
+        tri_p0=p0,
+        tri_e0=e0,
+        tri_e1=e1,
+        tri_n=n,
+        tri_c1=c1,
+        tri_c0=c0,
+        tri_np0=np0,
+        tri_corner_normals=jnp.asarray(scene.tri_normals, dtype=dtype),
+        tri_target=jnp.asarray(scene.tri_target, dtype=jnp.int32),
+        target_refl=jnp.asarray(scene.target_refl_coeff, dtype=dtype),
+        target_refr=jnp.asarray(scene.target_refr_index, dtype=dtype),
+        target_vel=jnp.asarray(scene.target_velocity, dtype=dtype),
+    )
+
+
+class RxGeomDevice(NamedTuple):
+    """Receiver spheres + acceptance windows (see receiver_geom.py)."""
+
+    centre: jnp.ndarray  # [NR, 3]
+    radius: jnp.ndarray  # [NR]
+    min_theta: jnp.ndarray  # [NR]
+    max_theta: jnp.ndarray  # [NR]
+    min_phi: jnp.ndarray  # [NR]
+    max_phi: jnp.ndarray  # [NR]
+
+    @classmethod
+    def from_host(cls, rx: RxSphereGeometry, dtype=jnp.float32) -> "RxGeomDevice":
+        return cls(
+            centre=jnp.asarray(rx.centre, dtype=dtype),
+            radius=jnp.asarray(rx.radius, dtype=dtype),
+            min_theta=jnp.asarray(rx.min_theta, dtype=dtype),
+            max_theta=jnp.asarray(rx.max_theta, dtype=dtype),
+            min_phi=jnp.asarray(rx.min_phi, dtype=dtype),
+            max_phi=jnp.asarray(rx.max_phi, dtype=dtype),
+        )
+
+    @property
+    def num_rx(self) -> int:
+        return int(self.centre.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Static trace parameters (hashable — used as a jit static arg).
+
+    ``max_refl_dev`` is the device-side "stop index" (user max_refl + 1,
+    ray_tracer.cpp:776); ``max_refr_dev`` the refraction cap (0 or 2).
+    ``strict_parity`` applies the reference's float32 narrowings (only
+    meaningful when tracing in float64 on CPU for oracle comparison).
+    """
+
+    num_rays: int
+    max_refl_dev: int
+    max_refr_dev: int
+    interpolate_smooth: bool = True
+    strict_parity: bool = False
+    tri_chunk: int = 512
+    ray_chunk: int = 0  # 0 = no ray chunking
+
+    @classmethod
+    def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":
+        return cls(
+            num_rays=p.num_rays,
+            max_refl_dev=p.max_refl_depth + 1,
+            max_refr_dev=p.max_refr_depth,
+            interpolate_smooth=p.interpolate_smooth,
+            **kw,
+        )
+
+    @property
+    def rays_per_fan(self) -> int:
+        return self.num_rays**3
+
+    @property
+    def refraction_on(self) -> bool:
+        return self.max_refr_dev == 2
+
+    @property
+    def slot_multiplier(self) -> int:
+        # ray_tracer.cpp:608-623: 1 + (max_refl + 1) + 1 with refraction.
+        return ((self.max_refl_dev - 1) + 3) if self.refraction_on else 1
+
+    @property
+    def ray_total(self) -> int:
+        return self.slot_multiplier * self.rays_per_fan
+
+    @property
+    def depth_total(self) -> int:
+        return (self.max_refl_dev - 1) + self.max_refr_dev
+
+    @property
+    def num_segments(self) -> int:
+        """Static wavefront iteration count: a chain traces at most
+        ``max_refl_dev + 1`` segments and the deepest chain (the exiting
+        refraction) starts two iterations late."""
+        extra = 2 if self.refraction_on else 0
+        return self.max_refl_dev + 1 + extra

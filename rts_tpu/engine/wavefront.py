@@ -1,0 +1,589 @@
+"""Wavefront multi-bounce tracer.
+
+TPU-native replacement for the reference's recursive OptiX pipeline
+(ray_generation -> rtTrace -> closest_hit -> recursive rtTrace,
+ray_tracer.cu:144-255 / normal_shader.cu:128-340): instead of per-thread
+recursion, all ray chains advance in lock-step as SoA lanes through a
+fixed number of *segment* iterations; terminated lanes are masked, never
+compacted (static shapes for XLA).
+
+Refraction fan-out keeps the reference's static slot layout
+(ray_tracer.cpp:608-633): a chain occupying lane ``l`` spawns its child
+at lane ``l + N^3``, so primary chains live in slots [0, N^3), the
+"trapped" first-refraction chains in [N^3, 2N^3) and the "exiting"
+second-refraction chains in [2N^3, 3N^3).  Because the offset is uniform,
+spawning is an array *shift*, not a scatter.  Slots >= 3N^3 exist only as
+pre-filled path rows (normal_shader.cu:231-239) and stay empty, exactly
+like the reference's result buffer.
+
+Behaviour notes (gates mirror normal_shader.cu):
+  * entry gate :134, path record :139-146, power legs :159-173,
+    refraction :191-281, reflection :286-333.
+  * The post-recursion ``end`` flag set at :336-338 is intentionally NOT
+    modelled: it is written after the recursive trace returns, is never
+    stored to the result buffer, and cannot influence any subsequent
+    computation — the depth gates already stop the chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rts_tpu.core.constants import EARTH_RADIUS, SCENE_EPS, SCENE_EPS_R
+from rts_tpu.core.vec import angle_in_range, dot3, normalize3
+from rts_tpu.engine.fan import generate_fan
+from rts_tpu.engine.intersect import closest_hit_bruteforce
+from rts_tpu.engine.types import DeviceScene, RxGeomDevice, TraceConfig
+
+PI = jnp.pi
+
+
+class LaneState(NamedTuple):
+    """Shiftable per-chain state (the PerRayData analogue, SoA)."""
+
+    origin: jnp.ndarray  # [L, 3] prevHitPoint / segment origin
+    direction: jnp.ndarray  # [L, 3] double3-analogue propagation direction
+    seg_dir: jnp.ndarray  # [L, 3] the f32-valued OptiX ray.direction
+    tmin: jnp.ndarray  # [L]
+    ray_length: jnp.ndarray  # [L]
+    power: jnp.ndarray  # [L]
+    doppler: jnp.ndarray  # [L]
+    refr_prev: jnp.ndarray  # [L] refrIndex.x
+    refr_cur: jnp.ndarray  # [L] refrIndex.y
+    refl_depth: jnp.ndarray  # [L] int32
+    refr_depth: jnp.ndarray  # [L] int32
+    slot_base: jnp.ndarray  # [L] int32 (maxRayIndex)
+    received: jnp.ndarray  # [L] int32
+    first_hit: jnp.ndarray  # [L, 3]
+    end: jnp.ndarray  # [L] bool
+    active: jnp.ndarray  # [L] bool
+    born: jnp.ndarray  # [L] bool — lane was ever spawned (vs zero-fill slot)
+
+
+class TraceBuffers(NamedTuple):
+    """Row-indexed side outputs (full ray_total height)."""
+
+    path: jnp.ndarray  # [R, D] int32 (dbuf_targ_intersect)
+    rcs: jnp.ndarray  # [R, D, 2] (dbuf_rcs_angle)
+
+
+class TraceResult(NamedTuple):
+    ray_length: jnp.ndarray  # [R]
+    power: jnp.ndarray  # [R]
+    doppler: jnp.ndarray  # [R]
+    received: jnp.ndarray  # [R] int32
+    refl_depth: jnp.ndarray  # [R] int32
+    refr_depth: jnp.ndarray  # [R] int32
+    first_hit: jnp.ndarray  # [R, 3]
+    prev_hit: jnp.ndarray  # [R, 3]
+    path: jnp.ndarray  # [R, D] int32
+    rcs: jnp.ndarray  # [R, D, 2]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q32(x, cfg: TraceConfig):
+    """Reference float32-narrowing points (no-op unless strict_parity
+    with a wider engine dtype)."""
+    if cfg.strict_parity:
+        return x.astype(jnp.float32).astype(x.dtype)
+    return x
+
+
+def _reflect(i, n, cfg: TraceConfig):
+    """OptiX reflect on the float3 ray (normal_shader.cu:296)."""
+    if cfg.strict_parity:
+        i32, n32 = i.astype(jnp.float32), n.astype(jnp.float32)
+        return (i32 - 2.0 * n32 * dot3(i32, n32)[..., None]).astype(i.dtype)
+    return i - 2.0 * n * dot3(i, n)[..., None]
+
+
+def _refract(i, n, ior, cfg: TraceConfig):
+    """OptiX refract semantics (normal_shader.cu:212); float32 under
+    strict parity.  Returns (unit direction, ok)."""
+    dtype = i.dtype
+    if cfg.strict_parity:
+        i = i.astype(jnp.float32)
+        n = n.astype(jnp.float32)
+        ior = ior.astype(jnp.float32)
+    ndotv = dot3(i, n)
+    backface = ndotv > 0.0
+    eta = jnp.where(backface, ior, 1.0 / ior)
+    nn = jnp.where(backface[..., None], -n, n)
+    neg_ndotv = jnp.where(backface, -ndotv, ndotv)
+    k = 1.0 - eta * eta * (1.0 - neg_ndotv * neg_ndotv)
+    ok = k >= 0.0
+    r = eta[..., None] * i - (eta * neg_ndotv + jnp.sqrt(jnp.where(ok, k, 0.0)))[..., None] * nn
+    r = r / jnp.sqrt(jnp.maximum(dot3(r, r), 1e-300 if r.dtype == jnp.float64 else 1e-30))[..., None]
+    return r.astype(dtype), ok
+
+
+def _cart_to_sph2(v):
+    azi = jnp.arctan2(v[..., 1], v[..., 0])
+    ele = jnp.arctan2(v[..., 2], jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2))
+    return azi, ele
+
+
+def _scatter_col(buf, col, value, mask):
+    """Masked per-row write buf[r, col[r]] = value[r] without scatter:
+    one-hot select over the (small, static) depth axis."""
+    d = buf.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], d), 1)
+    sel = mask[:, None] & (cols == col[:, None])
+    if buf.ndim == 3:
+        sel = sel[..., None]
+        value = value[:, None, :]
+    else:
+        value = value[:, None]
+    return jnp.where(sel, value.astype(buf.dtype), buf)
+
+
+# ---------------------------------------------------------------------------
+# hit processing (closest_hit program analogue)
+
+
+def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig):
+    n3 = cfg.rays_per_fan
+    l = state.origin.shape[0]
+    dtype = state.origin.dtype
+
+    tri = jnp.clip(hit.tri, 0, scene.tri_target.shape[0] - 1)
+    targ = scene.tri_target[tri]
+    targ_safe = jnp.clip(targ, 0, scene.target_refl.shape[0] - 1)
+
+    gate = (
+        hit_mask
+        & ~state.end
+        & (
+            (state.refr_depth < cfg.max_refr_dev)
+            | (state.refl_depth < cfg.max_refl_dev - 1)
+        )
+    )
+
+    lane_rows = jnp.arange(l, dtype=jnp.int32)
+
+    # --- path record (normal_shader.cu:139-146)
+    col = state.refl_depth + state.refr_depth
+    rec = gate & (state.refr_depth != 1) & (col < cfg.depth_total)
+    path = bufs.path
+    path = path.at[:l].set(_scatter_col(path[:l], col, targ, rec))
+
+    # --- geometry update
+    hit_t = _q32(hit.t, cfg)
+    hit_t = jnp.where(gate, hit_t, 0.0)
+    hit_point = state.origin + hit_t[:, None] * state.direction
+    ray_length = state.ray_length + hit_t
+
+    first = gate & (state.refl_depth == 0) & (state.refr_depth == 0)
+    leg = jnp.where(first[:, None], hit_point - tx_origin, hit_point - state.origin)
+    leg_sq = dot3(leg, leg)
+    eps = jnp.where(first, SCENE_EPS, SCENE_EPS_R)
+    ok_leg = jnp.sqrt(leg_sq) >= eps
+    four_pi = 4.0 * PI
+    power = state.power
+    power = jnp.where(first & ok_leg, 1.0 / (leg_sq * four_pi), power)
+    power = jnp.where(gate & ~first & ok_leg, power / (leg_sq * four_pi), power)
+    end = state.end | (gate & ~ok_leg)
+
+    first_hit = jnp.where(first[:, None], hit_point, state.first_hit)
+    origin = jnp.where(gate[:, None], hit_point, state.origin)
+
+    # --- shading normal (triangle_mesh.cu:174-194)
+    if cfg.interpolate_smooth:
+        cn = scene.tri_corner_normals[tri]  # [L, 3, 3]
+        nrm = (
+            cn[:, 1] * hit.beta[:, None]
+            + cn[:, 2] * hit.gamma[:, None]
+            + cn[:, 0] * (1.0 - hit.beta - hit.gamma)[:, None]
+        )
+    else:
+        nrm = scene.tri_n[tri]
+    nrm = normalize3(nrm)
+    nrm = jnp.where(jnp.isfinite(nrm), nrm, 0.0)
+    normal_f = _q32(nrm, cfg)
+
+    v_targ = scene.target_vel[targ_safe]
+    refl_c = scene.target_refl[targ_safe]
+    k0 = normalize3(state.direction)
+    k0 = jnp.where(jnp.isfinite(k0), k0, 0.0)
+    k0_azi, k0_ele = _cart_to_sph2(k0)
+
+    # --- refraction spawn (normal_shader.cu:191-281)
+    refr_prev_new = state.refr_cur  # prd_refr.refrIndex.x = old .y
+    spawn = jnp.zeros((l,), bool)
+    rcs = bufs.rcs
+    child = None
+    if cfg.refraction_on:
+        can = gate & (jnp.abs(refl_c) != 1.0) & (state.refr_depth < cfg.max_refr_dev) & (state.refl_depth == 0)
+        refr_cur_child = jnp.where(refr_prev_new == 1.0, scene.target_refr[targ_safe], 1.0)
+        ratio = _q32(refr_cur_child / refr_prev_new, cfg)
+        refr_dir, refr_ok = _refract(state.seg_dir, normal_f, ratio, cfg)
+        spawn = can & refr_ok
+
+        child_power = jnp.where(state.refl_depth + 1 < cfg.max_refl_dev, power * (1.0 - jnp.abs(refl_c)), power)
+        k1 = normalize3(refr_dir)
+        child_doppler = state.doppler + dot3(v_targ, k1 - k0)
+        child = LaneState(
+            origin=hit_point,
+            direction=refr_dir.astype(dtype),
+            seg_dir=refr_dir.astype(dtype),
+            tmin=jnp.full((l,), SCENE_EPS, dtype),
+            ray_length=ray_length,
+            power=child_power,
+            doppler=child_doppler,
+            refr_prev=refr_prev_new,
+            refr_cur=refr_cur_child,
+            refl_depth=state.refl_depth,
+            refr_depth=state.refr_depth + 1,
+            slot_base=state.slot_base + n3,
+            received=state.received,
+            first_hit=first_hit,
+            end=end,
+            active=jnp.ones((l,), bool),
+            born=jnp.ones((l,), bool),
+        )
+
+        # refraction RCS angles -> child row (normal_shader.cu:259-265)
+        k1_azi, k1_ele = _cart_to_sph2(-k1)
+        rcs_val = jnp.stack([k0_azi + k1_azi, k0_ele + k1_ele], axis=-1)
+        child_col = state.refl_depth + state.refr_depth  # refl + (refr+1) - 1
+        rcs = rcs.at[:l].set(
+            _scatter_col(
+                rcs[:l],
+                _shift_down(child_col, n3),
+                _shift_down(rcs_val, n3),
+                _shift_down(spawn, n3),
+            )
+        )
+
+        # pre-filled trapped/exiting path rows (normal_shader.cu:221-239)
+        prefill = spawn & (state.refr_depth == 0) & (state.slot_base == 0)
+        r_rows = path.shape[0]
+        ncols = cfg.depth_total
+        # trapped row (slot 1): every column
+        pf_rows = _shift_to_rows(prefill, n3, r_rows)
+        pf_targ = _shift_to_rows(targ, n3, r_rows)
+        path = jnp.where(pf_rows[:, None], pf_targ[:, None], path)
+        # exiting rows (slots j+2, j = 0..max_refl_dev-1): columns 0..j+1
+        for j in range(cfg.max_refl_dev):
+            off = (j + 2) * n3
+            if off >= r_rows:
+                break
+            rows = _shift_to_rows(prefill, off, r_rows)
+            tg = _shift_to_rows(targ, off, r_rows)
+            width = min(j + 2, ncols)
+            colsel = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) < width
+            path = jnp.where(rows[:, None] & colsel, tg[:, None], path)
+
+    # --- reflection (normal_shader.cu:286-333)
+    refl_depth = jnp.where(gate, state.refl_depth + 1, state.refl_depth)
+    refr_prev = jnp.where(gate, refr_prev_new, state.refr_prev)
+    refr_cur = jnp.where(gate, refr_prev_new, state.refr_cur)
+
+    do_refl = gate & (refl_depth < cfg.max_refl_dev)
+    refl_dir = _reflect(state.seg_dir, normal_f, cfg)
+    power = jnp.where(do_refl, power * refl_c, power)
+    k1r = normalize3(refl_dir)
+    k1r = jnp.where(jnp.isfinite(k1r), k1r, 0.0)
+    doppler = state.doppler + jnp.where(do_refl, dot3(v_targ, k1r - k0), 0.0)
+    direction = jnp.where(do_refl[:, None], refl_dir.astype(dtype), state.direction)
+    seg_dir = jnp.where(do_refl[:, None], refl_dir.astype(dtype), state.seg_dir)
+    tmin = jnp.where(do_refl, jnp.asarray(SCENE_EPS_R, dtype), state.tmin)
+
+    # reflection RCS angles -> own row (normal_shader.cu:319-326)
+    k1r_azi, k1r_ele = _cart_to_sph2(-k1r)
+    rcs_val_r = jnp.stack([k0_azi + k1r_azi, k0_ele + k1r_ele], axis=-1)
+    rcs_col_r = (refl_depth - 1) + state.refr_depth
+    rcs = rcs.at[:l].set(_scatter_col(rcs[:l], rcs_col_r, rcs_val_r, do_refl))
+
+    new = LaneState(
+        origin=origin,
+        direction=direction,
+        seg_dir=seg_dir,
+        tmin=tmin,
+        ray_length=ray_length,
+        power=power,
+        doppler=doppler,
+        refr_prev=refr_prev,
+        refr_cur=refr_cur,
+        refl_depth=refl_depth,
+        refr_depth=state.refr_depth,
+        slot_base=state.slot_base,
+        received=state.received,
+        first_hit=first_hit,
+        end=end,
+        active=do_refl,
+        born=state.born,
+    )
+
+    # merge into lanes untouched by a hit
+    merged = jax.tree.map(
+        lambda a, b: jnp.where(_bmask(hit_mask, a), a, b), new, state
+    )
+
+    # spawn children via uniform +n3 shift
+    if cfg.refraction_on:
+        shifted_child = jax.tree.map(partial(_shift_down, n3=n3), child)
+        shifted_spawn = _shift_down(spawn, n3=n3)
+        merged = jax.tree.map(
+            lambda c, s: jnp.where(_bmask(shifted_spawn, c), c, s), shifted_child, merged
+        )
+
+    return merged, TraceBuffers(path=path, rcs=rcs)
+
+
+def _bmask(mask, a):
+    """Broadcast a [L] bool mask against array a of rank 1 or 2."""
+    return mask[:, None] if a.ndim == 2 else mask
+
+
+def _shift_down(a, n3: int):
+    """Move lane l to lane l + n3 (zero-fill the first n3 lanes)."""
+    pad = jnp.zeros((n3,) + a.shape[1:], a.dtype)
+    return jnp.concatenate([pad, a[:-n3]], axis=0)
+
+
+def _shift_to_rows(a, off: int, rows: int):
+    """Place a[i] at row i+off of a zero buffer with ``rows`` rows."""
+    take = min(rows - off, a.shape[0])
+    parts = [jnp.zeros((off,) + a.shape[1:], a.dtype), a[:take]]
+    used = off + take
+    if used < rows:
+        parts.append(jnp.zeros((rows - used,) + a.shape[1:], a.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# miss processing (miss program analogue, ray_tracer.cu:260-477)
+
+
+def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg: TraceConfig):
+    dtype = state.origin.dtype
+    four_pi_sq = (4.0 * PI) * (4.0 * PI)
+
+    m_entry = miss_mask & ~state.end  # gate evaluated once (cu:266)
+
+    ray_length = state.ray_length
+    power = state.power
+    doppler = state.doppler
+    received = state.received
+    end = state.end
+
+    d = state.direction
+    a_q = dot3(d, d)
+
+    for rx_i in range(rx.num_rx):
+        c = rx.centre[rx_i]
+        o = state.origin
+        b_q = 2.0 * dot3(o - c, d)
+        c_q = dot3(o, o) + jnp.dot(c, c) - 2.0 * (o @ c) - rx.radius[rx_i] ** 2
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        has = m_entry & (disc > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-b_q - sq) / (2.0 * a_q)
+        t1 = (-b_q + sq) / (2.0 * a_q)
+
+        def _root_captured(ti):
+            okt = (ti >= 0.0) & (ray_length + ti > SCENE_EPS) & (ray_length + ti > SCENE_EPS_R)
+            ep = o + ti[:, None] * d
+            rel = ep - c
+            if cfg.strict_parity:
+                theta = jnp.arctan2(
+                    rel[:, 1].astype(jnp.float32), rel[:, 0].astype(jnp.float32)
+                ).astype(dtype)
+                phi = jnp.arctan2(
+                    rel[:, 2].astype(jnp.float32),
+                    jnp.sqrt(rel[:, 1] ** 2 + rel[:, 0] ** 2).astype(jnp.float32),
+                ).astype(dtype)
+            else:
+                theta = jnp.arctan2(rel[:, 1], rel[:, 0])
+                phi = jnp.arctan2(rel[:, 2], jnp.sqrt(rel[:, 1] ** 2 + rel[:, 0] ** 2))
+
+            # fold phi into [-pi/2, pi/2] (cu:332-340)
+            low = phi < -PI / 2
+            theta = jnp.where(low, theta + PI, theta)
+            phi = jnp.where(low, -PI - phi, phi)
+            high = phi > PI / 2
+            theta = jnp.where(high, theta + PI, theta)
+            phi = jnp.where(high, PI - phi, phi)
+
+            # acceptance windows with pole-wrapped second region (cu:342-388)
+            max_t1 = rx.max_theta[rx_i]
+            min_t1 = rx.min_theta[rx_i]
+            max_p1 = rx.max_phi[rx_i]
+            min_p1 = rx.min_phi[rx_i]
+            max_t2, min_t2, max_p2, min_p2 = max_t1, min_t1, max_p1, min_p1
+
+            w_low = min_p1 < -PI / 2
+            max_t2 = jnp.where(w_low, max_t2 + PI, max_t2)
+            min_t2 = jnp.where(w_low, min_t2 + PI, min_t2)
+            max_p2 = jnp.where(w_low, -PI - min_p1, max_p2)
+            min_p2 = jnp.where(w_low, -PI / 2, min_p2)
+            min_p1 = jnp.where(w_low, -PI / 2, min_p1)
+
+            w_high = max_p1 > PI / 2
+            max_t2 = jnp.where(w_high, max_t2 + PI, max_t2)
+            min_t2 = jnp.where(w_high, min_t2 + PI, min_t2)
+            min_p2 = jnp.where(w_high, PI - max_p1, min_p2)
+            max_p2 = jnp.where(w_high, PI / 2, max_p2)
+            max_p1 = jnp.where(w_high, PI / 2, max_p1)
+
+            in_win = (
+                angle_in_range(theta, min_t1, max_t1) & angle_in_range(phi, min_p1, max_p1)
+            ) | (
+                angle_in_range(theta, min_t2, max_t2) & angle_in_range(phi, min_p2, max_p2)
+            )
+            return okt & in_win
+
+        cap0 = has & _root_captured(t0)
+        cap1 = has & _root_captured(t1)
+        cap = cap0 | cap1
+        t_cap = jnp.where(cap0, t0, t1)  # t0 <= t1 always, so min when both
+
+        end = end | cap  # set before the epsilon gates (cu:396)
+
+        ep = state.origin + t_cap[:, None] * d
+        direct = (state.refl_depth == 0) & (state.refr_depth == 0)
+        rx_range_direct = ep - tx_origin
+        rx_range_ind = ep - state.origin
+        len_dir = jnp.sqrt(dot3(rx_range_direct, rx_range_direct))
+        len_ind = jnp.sqrt(dot3(rx_range_ind, rx_range_ind))
+
+        cap_dir = cap & direct & (len_dir >= SCENE_EPS)
+        cap_ind = cap & ~direct & (len_ind >= SCENE_EPS_R)
+
+        power = jnp.where(cap_dir, 1.0 / (four_pi_sq * dot3(rx_range_direct, rx_range_direct)), power)
+        doppler = jnp.where(cap_dir, 0.0, doppler)
+        power = jnp.where(cap_ind, power / (dot3(rx_range_ind, rx_range_ind) * four_pi_sq), power)
+        got = cap_dir | cap_ind
+        ray_length = jnp.where(got, ray_length + t_cap, ray_length)
+        received = jnp.where(got, rx_i, received)
+
+    # Earth-sphere termination (cu:438-477)
+    e = miss_mask & ~end
+    o = state.origin
+    b_q = 2.0 * dot3(o, d)
+    c_q = dot3(o, o) - EARTH_RADIUS**2
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    has = e & (disc > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    for t_e in ((-b_q - sq) / (2.0 * a_q), (-b_q + sq) / (2.0 * a_q)):
+        valid = has & (t_e >= 0.0) & (state.ray_length > 0.0)
+        ray_length = jnp.where(valid, ray_length + t_e, ray_length)
+        end = end | valid
+
+    active = jnp.where(miss_mask, False, state.active)
+    return state._replace(
+        ray_length=ray_length,
+        power=power,
+        doppler=doppler,
+        received=received,
+        end=end,
+        active=active,
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def _init_state(cfg: TraceConfig, tx_origin, tx_dir, tx_span, dtype) -> LaneState:
+    n3 = cfg.rays_per_fan
+    lanes = 3 * n3 if cfg.refraction_on else n3  # only chains that can exist
+    dirs = generate_fan(cfg.num_rays, tx_dir, tx_span, dtype=dtype)
+    zeros3 = jnp.zeros((lanes, 3), dtype)
+    direction = zeros3.at[:n3].set(dirs)
+    seg = _q32(normalize3(dirs), cfg)
+    seg_dir = zeros3.at[:n3].set(seg)
+    active = jnp.zeros((lanes,), bool).at[:n3].set(True)
+    return LaneState(
+        origin=jnp.broadcast_to(tx_origin, (lanes, 3)).astype(dtype),
+        direction=direction,
+        seg_dir=seg_dir,
+        tmin=jnp.full((lanes,), SCENE_EPS, dtype),
+        ray_length=jnp.zeros((lanes,), dtype),
+        power=jnp.zeros((lanes,), dtype),
+        doppler=jnp.zeros((lanes,), dtype),
+        refr_prev=jnp.ones((lanes,), dtype),
+        refr_cur=jnp.ones((lanes,), dtype),
+        refl_depth=jnp.zeros((lanes,), jnp.int32),
+        refr_depth=jnp.zeros((lanes,), jnp.int32),
+        slot_base=jnp.zeros((lanes,), jnp.int32),
+        received=jnp.full((lanes,), -1, jnp.int32),
+        first_hit=zeros3,
+        end=jnp.zeros((lanes,), bool),
+        active=active,
+        born=active,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_pulse(
+    scene: DeviceScene,
+    rx: RxGeomDevice,
+    tx_origin,
+    tx_dir,
+    tx_span,
+    cfg: TraceConfig,
+) -> TraceResult:
+    """Trace one pulse: the jitted analogue of rtContextLaunch3D
+    (ray_tracer.cpp:1165) plus all recursive bounces."""
+    dtype = scene.tri_p0.dtype
+    tx_origin = jnp.asarray(tx_origin, dtype)
+    state = _init_state(cfg, tx_origin, tx_dir, tx_span, dtype)
+    bufs = TraceBuffers(
+        path=jnp.full((cfg.ray_total, cfg.depth_total), -1, jnp.int32),
+        rcs=jnp.full((cfg.ray_total, cfg.depth_total, 2), -1000000.0, dtype),
+    )
+
+    def body(_, carry):
+        state, bufs = carry
+        hit = closest_hit_bruteforce(
+            state.origin,
+            state.direction,
+            state.tmin,
+            scene.tri_p0,
+            scene.tri_e0,
+            scene.tri_e1,
+            scene.tri_n,
+            scene.tri_c1,
+            scene.tri_c0,
+            scene.tri_np0,
+            tri_chunk=cfg.tri_chunk,
+        )
+        hit_mask = state.active & hit.found
+        miss_mask = state.active & ~hit.found
+        state = _process_miss(state, miss_mask, rx, tx_origin, cfg)
+        state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg)
+        return state, bufs
+
+    state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
+
+    # Assemble full-height results; lanes beyond the traced block stay at
+    # their zero-fill values (ray_tracer.cu:227-240).
+    lanes = state.origin.shape[0]
+    r = cfg.ray_total
+
+    def fill(x, fill_value, shape_tail=()):
+        out = jnp.full((r,) + shape_tail, fill_value, x.dtype)
+        return out.at[:lanes].set(x)
+
+    return TraceResult(
+        ray_length=fill(state.ray_length, 0.0),
+        power=fill(state.power, 0.0),
+        doppler=fill(state.doppler, 0.0),
+        received=fill(state.received, -1),
+        refl_depth=fill(state.refl_depth, 0),
+        refr_depth=fill(state.refr_depth, 0),
+        first_hit=fill(state.first_hit, 0.0, (3,)),
+        # Never-spawned slots report the zero-fill prevHitPoint, not the
+        # Tx origin their lane was initialised with (ray_tracer.cu:234).
+        prev_hit=fill(jnp.where(state.born[:, None], state.origin, 0.0), 0.0, (3,)),
+        path=bufs.path,
+        rcs=bufs.rcs,
+    )

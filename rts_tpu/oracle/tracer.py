@@ -337,7 +337,10 @@ class _Tracer:
                 prd_refr.refr_cur = float(scene.target_refr_index[targ])
             else:
                 prd_refr.refr_cur = 1.0
-            ratio = float(np.float32(prd_refr.refr_cur / prd_refr.refr_prev))
+            # index ratio is narrowed to float on device (normal_shader.cu:209)
+            ratio = prd_refr.refr_cur / prd_refr.refr_prev
+            if self.sp:
+                ratio = float(np.float32(ratio))
             new_dir, ok = _refract(ray_dir_f32, normal_f, ratio, f32=self.sp)
             if ok:
                 current = prd_refr.max_ray_index + self.n3

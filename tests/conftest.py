@@ -4,11 +4,21 @@ devices so multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the surrounding environment pre-sets JAX_PLATFORMS=axon (the
+# tunnelled TPU), which is slow to compile and has no real float64 — unit
+# and parity tests must run on host CPU in x64.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# The env var alone is NOT enough here: /root/.axon_site/sitecustomize.py
+# registers the axon TPU plugin at interpreter startup, which pre-empts
+# JAX_PLATFORMS.  The config update below reliably forces CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: compiles dominate wall-clock on this box.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
