@@ -1,0 +1,145 @@
+"""Multipath coherent combining — sort + segmented reduction.
+
+TPU-native replacement for the O(N^2) all-pairs CUDA kernels of
+aggregation.cu:32-97: rays are grouped by (receiver, target-path row) with
+one lexicographic sort, then voltages/delays/phases/Dopplers are combined
+per group with segmented sums — O(N log N), static shapes, no host trip.
+
+Semantics preserved exactly, including the reference's asymmetric
+"direct transmission" rule (aggregation.cu:56): a ray with zero bounces
+matches *every* received ray at its receiver, so direct rays read the
+receiver-level aggregates instead of their path group's.
+
+Outputs stay in lane space ([R] arrays + an ``emit`` mask) so everything
+composes under jit/vmap; ``emit`` marks the unique-path representative
+lanes that become Response objects (ray_tracer.cpp:1290-1321 dedup).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LaneAggregate(NamedTuple):
+    npath: jnp.ndarray  # [R] number of coherently-combined rays
+    power: jnp.ndarray  # [R] (mean voltage)^2  (kernel2, aggregation.cu:89)
+    delay: jnp.ndarray  # [R] mean delay
+    phase: jnp.ndarray  # [R] mean phase
+    doppler: jnp.ndarray  # [R] mean Doppler
+    path_match: jnp.ndarray  # [R] min matching lane (R+1 for invalid lanes)
+    emit: jnp.ndarray  # [R] bool — this lane produces a Response
+
+
+def aggregate_lanes(
+    received: jnp.ndarray,  # [R] int32, -1 = not received
+    refl_depth: jnp.ndarray,  # [R] int32
+    refr_depth: jnp.ndarray,  # [R] int32
+    path: jnp.ndarray,  # [R, D] int32
+    power: jnp.ndarray,  # [R] post-processed power
+    ray_length: jnp.ndarray,  # [R]
+    doppler: jnp.ndarray,  # [R] post-processed Doppler frequency
+    num_rx: int,
+    cspeed,
+    carrier,
+) -> LaneAggregate:
+    r = received.shape[0]
+    d = path.shape[1]
+    fdtype = power.dtype
+
+    valid = received >= 0
+    w = valid.astype(fdtype)
+    delay = ray_length / cspeed
+    two_pi = 2.0 * jnp.pi
+    phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
+    volt = jnp.sqrt(power)
+
+    # ---- lexicographic sort by (rx, path row); invalid lanes sort last
+    rx_key = jnp.where(valid, received, num_rx).astype(jnp.int32)
+    lane = jnp.arange(r, dtype=jnp.int32)
+    keys = [rx_key] + [path[:, k] for k in range(d)]
+    sorted_ops = jax.lax.sort(tuple(keys) + (lane,), num_keys=d + 1)
+    perm = sorted_ops[-1]
+    s_keys = sorted_ops[:-1]
+
+    # ---- group ids: new segment where any key changes
+    def diff(a):
+        return a[1:] != a[:-1]
+
+    boundary = jnp.zeros((r,), bool).at[1:].set(
+        jnp.stack([diff(k) for k in s_keys], axis=0).any(axis=0)
+    )
+    seg = jnp.cumsum(boundary.astype(jnp.int32))
+
+    # ---- segmented aggregates over valid lanes
+    s_w = w[perm]
+    s_volt = volt[perm] * s_w
+    s_delay = delay[perm] * s_w
+    s_phase = phase[perm] * s_w
+    s_dopp = doppler[perm] * s_w
+
+    g_n = jax.ops.segment_sum(s_w, seg, num_segments=r)
+    g_volt = jax.ops.segment_sum(s_volt, seg, num_segments=r)
+    g_delay = jax.ops.segment_sum(s_delay, seg, num_segments=r)
+    g_phase = jax.ops.segment_sum(s_phase, seg, num_segments=r)
+    g_dopp = jax.ops.segment_sum(s_dopp, seg, num_segments=r)
+    g_min = jax.ops.segment_min(
+        jnp.where(valid[perm], perm, r + 1), seg, num_segments=r
+    )
+
+    # back to lane order
+    inv = jnp.zeros((r,), jnp.int32).at[perm].set(jnp.arange(r, dtype=jnp.int32))
+    lane_seg = seg[inv]
+    grp_n = g_n[lane_seg]
+    grp_volt = g_volt[lane_seg]
+    grp_delay = g_delay[lane_seg]
+    grp_phase = g_phase[lane_seg]
+    grp_dopp = g_dopp[lane_seg]
+    grp_min = g_min[lane_seg]
+
+    # ---- receiver-level aggregates (for the direct-transmission rule)
+    rx_seg = jnp.where(valid, received, num_rx).astype(jnp.int32)
+    n_seg = num_rx + 1
+    rx_n = jax.ops.segment_sum(w, rx_seg, num_segments=n_seg)
+    rx_volt = jax.ops.segment_sum(volt * w, rx_seg, num_segments=n_seg)
+    rx_delay = jax.ops.segment_sum(delay * w, rx_seg, num_segments=n_seg)
+    rx_phase = jax.ops.segment_sum(phase * w, rx_seg, num_segments=n_seg)
+    rx_dopp = jax.ops.segment_sum(doppler * w, rx_seg, num_segments=n_seg)
+    rx_min = jax.ops.segment_min(
+        jnp.where(valid, lane, r + 1), rx_seg, num_segments=n_seg
+    )
+
+    direct = valid & (refl_depth == 0) & (refr_depth == 0)
+    npath = jnp.where(direct, rx_n[rx_seg], grp_n)
+    v_sum = jnp.where(direct, rx_volt[rx_seg], grp_volt)
+    d_sum = jnp.where(direct, rx_delay[rx_seg], grp_delay)
+    p_sum = jnp.where(direct, rx_phase[rx_seg], grp_phase)
+    f_sum = jnp.where(direct, rx_dopp[rx_seg], grp_dopp)
+    match = jnp.where(direct, rx_min[rx_seg], grp_min)
+    match = jnp.where(valid, match, r + 1)
+
+    nz = npath > 0
+    safe_n = jnp.where(nz, npath, 1.0)
+    agg_power = jnp.where(nz, (v_sum / safe_n) ** 2, power)
+    agg_delay = jnp.where(nz, d_sum / safe_n, d_sum)
+    agg_phase = jnp.where(nz, p_sum / safe_n, p_sum)
+    agg_dopp = jnp.where(nz, f_sum / safe_n, doppler)
+
+    # ---- unique-path representatives (ray_tracer.cpp:1290-1304)
+    emit = (
+        jnp.zeros((r + 2,), bool)
+        .at[jnp.where(valid, match, r + 1)]
+        .set(True, mode="drop")[:r]
+    )
+
+    return LaneAggregate(
+        npath=npath,
+        power=agg_power,
+        delay=agg_delay,
+        phase=agg_phase,
+        doppler=agg_dopp,
+        path_match=match,
+        emit=emit,
+    )

@@ -66,6 +66,18 @@ def compile_scene(
     nt = len(meshes)
     if velocities is None:
         velocities = [np.zeros(3)] * nt
+    # Target-less scenes (direct Tx->Rx only) still need one dummy row so
+    # device-side per-target gathers have a valid (never-hit) index.
+    if nt == 0:
+        return SceneArrays(
+            tri_verts=np.zeros((pad_to, 3, 3)),
+            tri_normals=np.zeros((pad_to, 3, 3)),
+            tri_target=np.full(pad_to, -1, np.int32),
+            target_refl_coeff=np.zeros(1),
+            target_refr_index=np.ones(1),
+            target_velocity=np.zeros((1, 3)),
+            num_real_tris=0,
+        )
 
     verts_list, norms_list, tgt_list = [], [], []
     for i, mesh in enumerate(meshes):

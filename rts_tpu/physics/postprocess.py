@@ -1,0 +1,84 @@
+"""Host post-processing of traced rays, vectorised and jit-compatible.
+
+Equivalent of the per-received-ray host loop at ray_tracer.cpp:1184-1258:
+per-bounce RCS multiplication, antenna gains at transmit/arrival times,
+the lambda^2*Gt*Gr factor (transmit power Pt is applied downstream, as in
+the reference's rsresponse), and the relativistic Doppler conversion.
+
+Quirk preserved: for direct Tx->Rx rays the reference evaluates the Tx
+gain along (Tx - Rx) and the Rx gain along (Rx - Tx) — both reversed
+relative to propagation (ray_tracer.cpp:1205-1206); indirect rays use
+(firstHit - Tx) departure and (lastHit - Rx) arrival vectors (:1209-1210).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+
+from rts_tpu.engine.wavefront import TraceResult
+
+
+def _azel(v):
+    az = jnp.arctan2(v[..., 1], v[..., 0])
+    el = jnp.arctan2(v[..., 2], jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2))
+    return az, el
+
+
+def postprocess(
+    res: TraceResult,
+    *,
+    tx_origin,  # [3]
+    rx_positions,  # [NR, 3]
+    rcs_models: Sequence,  # per-target .rcs(az_sum, el_sum, wl)
+    tx_gain,  # .gain(az, el, bore_az, bore_el, wl)
+    rx_gains: Sequence,
+    tx_rotation,  # (az, el) boresight at pulse time
+    rx_rotation_fns: Sequence[Callable],  # t -> (az, el), vectorised over t
+    time_t,
+    carrier,
+    cspeed,
+):
+    """Returns (power, doppler, delay) lane arrays ready for aggregation."""
+    valid = res.received >= 0
+    num_rx = rx_positions.shape[0] if hasattr(rx_positions, "shape") else len(rx_positions)
+    rxi = jnp.clip(res.received, 0, max(num_rx - 1, 0))
+    repos = jnp.asarray(rx_positions)[rxi] if num_rx else jnp.zeros_like(res.first_hit)
+
+    wavelength = cspeed / carrier
+    direct = (res.refl_depth == 0) & (res.refr_depth == 0)
+    tx_origin = jnp.asarray(tx_origin)
+
+    transvec = jnp.where(
+        direct[:, None], tx_origin - repos, res.first_hit - tx_origin
+    )
+    recvvec = jnp.where(direct[:, None], repos - tx_origin, res.prev_hit - repos)
+    t_az, t_el = _azel(transvec)
+    r_az, r_el = _azel(recvvec)
+
+    delay = res.ray_length / cspeed
+    power = res.power
+
+    # per-bounce RCS (ray_tracer.cpp:1219-1230)
+    for t_idx, model in enumerate(rcs_models):
+        vals = model.rcs(res.rcs[..., 0], res.rcs[..., 1], wavelength)  # [R, D]
+        factor = jnp.where(res.path == t_idx, vals, 1.0)
+        power = power * jnp.prod(factor, axis=1)
+
+    # antenna gains (ray_tracer.cpp:1232-1247)
+    gt = tx_gain.gain(t_az, t_el, tx_rotation[0], tx_rotation[1], wavelength)
+    gr = jnp.ones_like(power)
+    for j, g in enumerate(rx_gains):
+        b_az, b_el = rx_rotation_fns[j](delay + time_t)
+        gj = g.gain(r_az, r_el, b_az, b_el, wavelength)
+        gr = jnp.where(res.received == j, gj, gr)
+
+    power = jnp.where(valid, power * (wavelength**2 * gt * gr), res.power)
+
+    # relativistic Doppler (ray_tracer.cpp:1251-1253)
+    vr = res.doppler / 2.0
+    doppler = jnp.where(
+        valid, carrier * ((1.0 + vr / cspeed) / (1.0 - vr / cspeed) - 1.0), res.doppler
+    )
+    return power, doppler, delay

@@ -1,0 +1,122 @@
+"""Sort/segment aggregation vs the O(N^2) reference-semantics oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rts_tpu.aggregate import aggregate_lanes
+from rts_tpu.oracle.aggregation import aggregate as oracle_aggregate
+
+C = 299792458.0
+CARRIER = 10e9
+
+
+def make_case(rng, r=48, num_rx=3, depth=3, p_direct=0.15, p_invalid=0.3):
+    received = rng.integers(0, num_rx, r).astype(np.int64)
+    invalid = rng.random(r) < p_invalid
+    received[invalid] = -1
+    refl = rng.integers(1, 3, r)
+    refr = np.zeros(r, dtype=np.int64)
+    direct = (~invalid) & (rng.random(r) < p_direct)
+    refl[direct] = 0
+
+    # few distinct path rows so groups form
+    rows = rng.integers(-1, 3, size=(6, depth))
+    path = rows[rng.integers(0, 6, r)]
+    path[direct] = -1
+    path[invalid] = -1
+
+    power = rng.uniform(1e-16, 1e-12, r)
+    ray_length = rng.uniform(1e3, 1e5, r)
+    doppler = rng.uniform(-5e3, 5e3, r)
+    return received, refl, refr, path, power, ray_length, doppler
+
+
+def test_matches_oracle_random_cases():
+    rng = np.random.default_rng(42)
+    for case in range(5):
+        received, refl, refr, path, power, ray_length, doppler = make_case(rng)
+        r = received.shape[0]
+        lane = aggregate_lanes(
+            jnp.asarray(received, jnp.int32),
+            jnp.asarray(refl, jnp.int32),
+            jnp.asarray(refr, jnp.int32),
+            jnp.asarray(path, jnp.int32),
+            jnp.asarray(power),
+            jnp.asarray(ray_length),
+            jnp.asarray(doppler),
+            num_rx=3,
+            cspeed=C,
+            carrier=CARRIER,
+        )
+
+        valid = received >= 0
+        lanes_of = np.where(valid)[0]
+        o = oracle_aggregate(
+            received[valid], refl[valid], refr[valid], path[valid],
+            power[valid], ray_length[valid], doppler[valid], C, CARRIER,
+        )
+
+        np.testing.assert_allclose(np.asarray(lane.npath)[lanes_of], o.npath, err_msg=f"case {case}")
+        np.testing.assert_allclose(np.asarray(lane.power)[lanes_of], o.power, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(lane.delay)[lanes_of], o.delay, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(lane.phase)[lanes_of], o.phase, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lane.doppler)[lanes_of], o.doppler, rtol=1e-12)
+
+        # path_match translated from filtered index space to lane space
+        expect_match = lanes_of[o.path_match]
+        np.testing.assert_array_equal(np.asarray(lane.path_match)[lanes_of], expect_match)
+
+        # emit = unique pathMatch representatives
+        expect_emit = np.zeros(r, bool)
+        expect_emit[lanes_of[o.unique_rays]] = True
+        np.testing.assert_array_equal(np.asarray(lane.emit), expect_emit)
+
+
+def test_identical_paths_combine_coherently():
+    # Three rays, same receiver, same path: voltages average.
+    received = jnp.asarray([0, 0, 0], jnp.int32)
+    refl = jnp.asarray([1, 1, 1], jnp.int32)
+    refr = jnp.zeros(3, jnp.int32)
+    path = jnp.asarray([[2, -1], [2, -1], [2, -1]], jnp.int32)
+    power = jnp.asarray([4.0, 9.0, 16.0])
+    ray_length = jnp.asarray([3e3, 3e3, 3e3])
+    doppler = jnp.asarray([100.0, 200.0, 300.0])
+    out = aggregate_lanes(received, refl, refr, path, power, ray_length, doppler, 1, C, CARRIER)
+    v_mean = (2.0 + 3.0 + 4.0) / 3.0
+    np.testing.assert_allclose(np.asarray(out.power), v_mean**2)
+    np.testing.assert_allclose(np.asarray(out.npath), 3.0)
+    np.testing.assert_allclose(np.asarray(out.doppler), 200.0)
+    assert np.asarray(out.emit).tolist() == [True, False, False]
+
+
+def test_different_receivers_do_not_combine():
+    received = jnp.asarray([0, 1], jnp.int32)
+    refl = jnp.asarray([1, 1], jnp.int32)
+    refr = jnp.zeros(2, jnp.int32)
+    path = jnp.asarray([[0], [0]], jnp.int32)
+    power = jnp.asarray([4.0, 9.0])
+    out = aggregate_lanes(
+        received, refl, refr, path, power, jnp.asarray([1e3, 1e3]),
+        jnp.zeros(2), 2, C, CARRIER,
+    )
+    np.testing.assert_allclose(np.asarray(out.npath), [1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(out.power), [4.0, 9.0])
+    assert np.asarray(out.emit).all()
+
+
+def test_direct_ray_matches_everything_at_receiver():
+    # Lane 1 is direct: it aggregates over all three rays at rx 0 even
+    # though their paths differ (aggregation.cu:56 quirk).
+    received = jnp.asarray([0, 0, 0], jnp.int32)
+    refl = jnp.asarray([1, 0, 2], jnp.int32)
+    refr = jnp.zeros(3, jnp.int32)
+    path = jnp.asarray([[0, -1], [-1, -1], [0, 1]], jnp.int32)
+    power = jnp.asarray([1.0, 4.0, 9.0])
+    out = aggregate_lanes(
+        received, refl, refr, path, power, jnp.asarray([1e3, 2e3, 3e3]),
+        jnp.zeros(3), 1, C, CARRIER,
+    )
+    np.testing.assert_allclose(np.asarray(out.npath), [1.0, 3.0, 1.0])
+    np.testing.assert_allclose(float(out.power[1]), 4.0)  # ((1+2+3)/3)^2
+    # direct lane's pathMatch is the receiver-wide minimum lane (0)
+    assert int(out.path_match[1]) == 0

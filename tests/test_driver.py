@@ -1,0 +1,129 @@
+"""End-to-end driver tests: World -> run() -> Response, vs analytic values.
+
+Mirrors the reference's single entry-point flow ``rs::RTS(world, ...)``
+(ray_tracer.cpp:509-1363): scene rebuild per pulse, trace, post-process,
+aggregate, responses attached to receivers.
+"""
+
+import numpy as np
+
+from rts_tpu import Parameters
+from rts_tpu.sim import (
+    AttitudePath,
+    Path,
+    RadarSignal,
+    Receiver,
+    Target,
+    Transmitter,
+    World,
+    run,
+)
+
+C = 299792458.0
+CARRIER = 10e9
+
+
+def make_world(num_pulses=1, target_speed=None, rotating=False):
+    w = World()
+    w.add(
+        Transmitter(
+            name="tx0",
+            path=Path.fixed(0, 0, 0),
+            wave=RadarSignal(carrier=CARRIER, temperature=30.0),
+            pulse_count=num_pulses,
+            prf=1000.0,
+            tx_span=(0.1, 0.1, 0.0),
+        )
+    )
+    w.add(
+        Receiver(
+            name="rx0",
+            path=Path.fixed(0, 0, 0),
+            sphere=(5.0, 1.0, 1.0),
+            noise_temperature=70.0,
+        )
+    )
+    if target_speed is not None:
+        tpath = Path.linear([(0.0, (1000.0, 0.0, 0.0)), (1.0, (1000.0 + target_speed, 0.0, 0.0))])
+    else:
+        tpath = Path.fixed(1000, 0, 0)
+    att = AttitudePath(yaw_rate=0.1) if rotating else AttitudePath()
+    w.add(
+        Target(
+            name="plate",
+            path=tpath,
+            attitude=att,
+            shape="rect",
+            rect=(2.0, 200.0, 200.0),
+            refl_coeff=0.9,
+        )
+    )
+    return w
+
+
+class TestMonostaticPlate:
+    def test_boresight_analytic(self):
+        """Single boresight ray: exact radar-equation power, delay, phase.
+
+        Plate spans x in [999, 1001]; capture point is the back of the rx
+        sphere (the origin), so both legs are 999 m.
+        """
+        w = make_world()
+        s = run(w, Parameters(num_rays=1, max_refl_depth=2))
+        assert s.total_received == 1
+        rx = w.receivers[0]
+        assert len(rx.responses) == 1
+        p = rx.responses[0].points[0]
+
+        expected_delay = (999.0 + 999.0) / C
+        assert abs(p.delay - expected_delay) < 1e-15
+
+        wl = C / CARRIER
+        r1 = r2 = 999.0
+        exp_power = (1 / (4 * np.pi * r1**2)) * 0.9 * (1 / ((4 * np.pi) ** 2 * r2**2)) * wl**2
+        np.testing.assert_allclose(p.power, exp_power, rtol=1e-12)
+
+        exp_phase = -np.mod(p.delay * 2 * np.pi * CARRIER, 2 * np.pi)
+        assert abs(p.phase - exp_phase) < 1e-9
+        assert p.doppler == 0.0
+        # accumulated quirk: wave temp (30) + rx temp (70) (ray_tracer.cpp:829)
+        assert p.noise_temperature == 100.0
+        assert abs(p.time - (0.0 + p.delay)) < 1e-18
+
+    def test_fan_aggregates_to_one_response(self):
+        """27-ray fan, all same path -> coherently combined single response."""
+        w = make_world()
+        s = run(w, Parameters(num_rays=3, max_refl_depth=2))
+        assert s.total_received == 3  # window admits 3 of 27
+        assert s.total_responses == 1
+
+    def test_doppler_receding(self):
+        speed = 100.0  # m/s receding along +x
+        w = make_world(target_speed=speed)
+        run(w, Parameters(num_rays=1, max_refl_depth=2))
+        p = w.receivers[0].responses[0].points[0]
+        vr = -speed  # dot(V, k1-k0)/2 with k0=+x, k1=-x
+        exp_fd = CARRIER * ((1 + vr / C) / (1 - vr / C) - 1)
+        np.testing.assert_allclose(p.doppler, exp_fd, rtol=1e-9)
+
+    def test_cpi_multiple_pulses(self):
+        w = make_world(num_pulses=4, rotating=True)
+        s = run(w, Parameters(num_rays=3, max_refl_depth=2))
+        assert len(s.pulses) == 4
+        assert all(p.received_rays > 0 for p in s.pulses)
+
+    def test_refraction_multistatic(self):
+        w = make_world()
+        w.targets[0].refl_coeff = 0.6
+        w.targets[0].refr_index = 1.5
+        w.add(Receiver(name="rx1", path=Path.fixed(0, 200, 0), sphere=(5.0, 1.5, 1.5)))
+        s = run(w, Parameters(num_rays=3, max_refl_depth=2, max_refr_depth=2))
+        assert s.total_received > 0
+        assert s.total_responses > 0
+
+    def test_empty_scene(self):
+        w = World()
+        w.add(Transmitter(wave=RadarSignal(carrier=CARRIER), pulse_count=1))
+        w.add(Receiver(path=Path.fixed(0, 0, 0)))
+        s = run(w, Parameters(num_rays=2, max_refl_depth=1))
+        assert s.total_responses == s.total_received >= 0
