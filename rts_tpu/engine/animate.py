@@ -1,0 +1,125 @@
+"""In-jit scene animation: static base mesh + per-pulse transforms.
+
+The reference rebuilds every target mesh on the host each pulse and marks
+the BVH dirty (ray_tracer.cpp:936-1146, 1125-1130) — the slowest part of
+its pipeline at scale.  TPU-native replacement: compile the scene ONCE
+(topology and t=0-rotated geometry are time-invariant), then apply the
+per-pulse rigid transform (rotation + translation) to the triangle soup
+*inside* jit, so a whole CPI batches over the pulse axis with no host
+round-trips.
+
+Transform semantics match the driver / reference exactly: the base mesh
+already carries the t=0 attitude; a rotating target gets the extra
+R(yaw,pitch,roll at t) applied ON TOP (composite, ray_tracer.cpp:993-1007),
+then the centre translation (:1010-1014).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rts_tpu.core.rotation import rot_zyx
+from rts_tpu.engine.types import DeviceScene, derive_tri_arrays
+from rts_tpu.geometry.scene import SceneArrays
+
+
+class SceneBase(NamedTuple):
+    """Time-invariant scene: target-frame triangle soup + materials."""
+
+    tri_verts: jnp.ndarray  # [T, 3, 3] corner positions (t=0 attitude, origin-centred)
+    tri_corner_normals: jnp.ndarray  # [T, 3, 3]
+    tri_target: jnp.ndarray  # [T] int32, -1 padding
+    target_refl: jnp.ndarray  # [NT]
+    target_refr: jnp.ndarray  # [NT]
+
+    @property
+    def num_targets(self) -> int:
+        return int(self.target_refl.shape[0])
+
+
+def scene_base(scene: SceneArrays, dtype=jnp.float32) -> SceneBase:
+    return SceneBase(
+        tri_verts=jnp.asarray(scene.tri_verts, dtype),
+        tri_corner_normals=jnp.asarray(scene.tri_normals, dtype),
+        tri_target=jnp.asarray(scene.tri_target, jnp.int32),
+        target_refl=jnp.asarray(scene.target_refl_coeff, dtype),
+        target_refr=jnp.asarray(scene.target_refr_index, dtype),
+    )
+
+
+def animate_scene(
+    base: SceneBase,
+    rot: jnp.ndarray,  # [NT, 3, 3] extra attitude rotation at pulse time
+    pos: jnp.ndarray,  # [NT, 3] target centres at pulse time
+    vel: jnp.ndarray,  # [NT, 3] finite-difference velocities
+) -> DeviceScene:
+    """Rigid-transform the soup and re-derive intersection precomputes.
+
+    Padding triangles (target -1) stay all-zero-edged and unhittable.
+    """
+    nt = base.target_refl.shape[0]
+    tid = jnp.clip(base.tri_target, 0, nt - 1)
+    r = rot[tid]  # [T, 3, 3]
+    shift = jnp.where((base.tri_target >= 0)[:, None], pos[tid], 0.0)
+    verts = jnp.einsum("tij,tcj->tci", r, base.tri_verts) + shift[:, None, :]
+    normals = jnp.einsum("tij,tcj->tci", r, base.tri_corner_normals)
+    p0, e0, e1, n, c1, c0, np0 = derive_tri_arrays(verts)
+    return DeviceScene(
+        tri_p0=p0,
+        tri_e0=e0,
+        tri_e1=e1,
+        tri_n=n,
+        tri_c1=c1,
+        tri_c0=c0,
+        tri_np0=np0,
+        tri_corner_normals=normals,
+        tri_target=base.tri_target,
+        target_refl=base.target_refl,
+        target_refr=base.target_refr,
+        target_vel=vel,
+    )
+
+
+def attitude_rotations(
+    targets,
+    times: np.ndarray,  # [P] pulse times
+    start_time: float,
+) -> np.ndarray:
+    """Host-side [P, NT, 3, 3] extra-rotation matrices.
+
+    Identity unless the target is rotating AND t > start_time
+    (ray_tracer.cpp:996-1003); the time-varying angles are double
+    precision (unlike the float-narrowed t=0 angles).
+    """
+    p, nt = len(times), len(targets)
+    out = np.tile(np.eye(3), (p, max(nt, 1), 1, 1))
+    for j, targ in enumerate(targets):
+        if not targ.attitude.is_rotating:
+            continue
+        for i, t in enumerate(times):
+            if t > start_time:
+                yaw, pitch, roll = targ.attitude.ypr(float(t))
+                out[i, j] = rot_zyx(np.float64(yaw), np.float64(pitch), np.float64(roll))
+    return out
+
+
+def target_motion(
+    targets,
+    times: np.ndarray,  # [P]
+    sample_time: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side positions [P, NT, 3] and finite-difference velocities
+    [P, NT, 3] (ray_tracer.cpp:941-948)."""
+    p, nt = len(times), len(targets)
+    pos = np.zeros((p, max(nt, 1), 3))
+    vel = np.zeros((p, max(nt, 1), 3))
+    for j, targ in enumerate(targets):
+        for i, t in enumerate(times):
+            a = np.asarray(targ.GetPosition(float(t)), np.float64).reshape(3)
+            b = np.asarray(targ.GetPosition(float(t) + sample_time), np.float64).reshape(3)
+            pos[i, j] = a
+            vel[i, j] = (b - a) / sample_time
+    return pos, vel

@@ -147,8 +147,7 @@ def _scatter_col(buf, col, value, mask):
 # hit processing (closest_hit program analogue)
 
 
-def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig):
-    n3 = cfg.rays_per_fan
+def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig, n3: int):
     l = state.origin.shape[0]
     dtype = state.origin.dtype
 
@@ -492,10 +491,9 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
 # driver
 
 
-def _init_state(cfg: TraceConfig, tx_origin, tx_dir, tx_span, dtype) -> LaneState:
-    n3 = cfg.rays_per_fan
+def _init_state(cfg: TraceConfig, tx_origin, dirs, dtype) -> LaneState:
+    n3 = dirs.shape[0]
     lanes = 3 * n3 if cfg.refraction_on else n3  # only chains that can exist
-    dirs = generate_fan(cfg.num_rays, tx_dir, tx_span, dtype=dtype)
     zeros3 = jnp.zeros((lanes, 3), dtype)
     direction = zeros3.at[:n3].set(dirs)
     seg = _q32(normalize3(dirs), cfg)
@@ -522,23 +520,29 @@ def _init_state(cfg: TraceConfig, tx_origin, tx_dir, tx_span, dtype) -> LaneStat
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def trace_pulse(
+def trace_fan(
     scene: DeviceScene,
     rx: RxGeomDevice,
     tx_origin,
-    tx_dir,
-    tx_span,
+    fan_dirs,  # [F, 3] primary ray directions (a full fan or a shard block)
     cfg: TraceConfig,
 ) -> TraceResult:
-    """Trace one pulse: the jitted analogue of rtContextLaunch3D
-    (ray_tracer.cpp:1165) plus all recursive bounces."""
+    """Trace an arbitrary block of primary rays through all bounces.
+
+    The result height is ``slot_multiplier * F`` — when ``fan_dirs`` is the
+    full N^3 fan this is the reference's ``rayTotal`` buffer layout
+    (ray_tracer.cpp:626); when it is a shard of the fan, each device
+    produces the same layout over its block, and the pulse-level result is
+    reassembled by an all-gather + slot-major interleave (parallel/).
+    """
     dtype = scene.tri_p0.dtype
     tx_origin = jnp.asarray(tx_origin, dtype)
-    state = _init_state(cfg, tx_origin, tx_dir, tx_span, dtype)
+    n3 = fan_dirs.shape[0]
+    ray_total = cfg.slot_multiplier * n3
+    state = _init_state(cfg, tx_origin, fan_dirs, dtype)
     bufs = TraceBuffers(
-        path=jnp.full((cfg.ray_total, cfg.depth_total), -1, jnp.int32),
-        rcs=jnp.full((cfg.ray_total, cfg.depth_total, 2), -1000000.0, dtype),
+        path=jnp.full((ray_total, cfg.depth_total), -1, jnp.int32),
+        rcs=jnp.full((ray_total, cfg.depth_total, 2), -1000000.0, dtype),
     )
 
     def body(_, carry):
@@ -559,7 +563,7 @@ def trace_pulse(
         hit_mask = state.active & hit.found
         miss_mask = state.active & ~hit.found
         state = _process_miss(state, miss_mask, rx, tx_origin, cfg)
-        state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg)
+        state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg, n3)
         return state, bufs
 
     state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
@@ -567,7 +571,7 @@ def trace_pulse(
     # Assemble full-height results; lanes beyond the traced block stay at
     # their zero-fill values (ray_tracer.cu:227-240).
     lanes = state.origin.shape[0]
-    r = cfg.ray_total
+    r = ray_total
 
     def fill(x, fill_value, shape_tail=()):
         out = jnp.full((r,) + shape_tail, fill_value, x.dtype)
@@ -587,3 +591,19 @@ def trace_pulse(
         path=bufs.path,
         rcs=bufs.rcs,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_pulse(
+    scene: DeviceScene,
+    rx: RxGeomDevice,
+    tx_origin,
+    tx_dir,
+    tx_span,
+    cfg: TraceConfig,
+) -> TraceResult:
+    """Trace one full pulse: the jitted analogue of rtContextLaunch3D
+    (ray_tracer.cpp:1165) plus all recursive bounces."""
+    dtype = scene.tri_p0.dtype
+    fan = generate_fan(cfg.num_rays, tx_dir, tx_span, dtype=dtype)
+    return trace_fan(scene, rx, tx_origin, fan, cfg)

@@ -3,6 +3,7 @@ from rts_tpu.sim.waveform import RadarSignal, TransmitterPulse
 from rts_tpu.sim.response import InterpPoint, Response
 from rts_tpu.sim.world import Receiver, Target, Transmitter, World
 from rts_tpu.sim.driver import run
+from rts_tpu.sim.cpi import prepare_cpi, run_cpi
 
 __all__ = [
     "AttitudePath",
@@ -16,5 +17,7 @@ __all__ = [
     "Target",
     "Transmitter",
     "World",
+    "prepare_cpi",
     "run",
+    "run_cpi",
 ]

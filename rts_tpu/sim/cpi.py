@@ -1,0 +1,168 @@
+"""CPI-level simulation front-end: World -> batched device arrays -> run.
+
+Builds the static ``SceneBase`` once and a ``PulseBatch`` of per-pulse
+transforms/geometry, then traces the whole CPI in one jit call
+(`rts_tpu.engine.cpi.trace_cpi`) or sharded over an ICI mesh
+(`rts_tpu.parallel`).  This is the high-throughput path; `rts_tpu.sim.run`
+remains the reference-shaped sequential driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from rts_tpu.config import Parameters
+from rts_tpu.engine import RxGeomDevice, TraceConfig
+from rts_tpu.engine.animate import SceneBase, attitude_rotations, scene_base, target_motion
+from rts_tpu.engine.cpi import CpiResult, CpiSpec, PulseBatch, trace_cpi
+from rts_tpu.geometry.scene import compile_scene
+from rts_tpu.physics.receiver_geom import rx_sphere_geometry
+from rts_tpu.sim.response import InterpPoint, Response
+from rts_tpu.sim.waveform import TransmitterPulse
+from rts_tpu.sim.world import World
+
+
+def prepare_cpi(
+    world: World,
+    params: Parameters,
+    *,
+    tx_index: int = 0,
+    dtype=jnp.float32,
+    strict_parity: bool = False,
+    tri_chunk: int = 512,
+    pad_tris_to: int = 1,
+):
+    """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI."""
+    trans = world.transmitters[tx_index]
+    signal = TransmitterPulse()
+    trans.GetPulse(signal, 0)
+    wave = signal.wave
+    carrier = wave.GetCarrier()
+    num_rx = len(world.receivers)
+    pulse_count = trans.GetPulseCount()
+    times = np.array([trans.pulse_time(k) for k in range(pulse_count)], np.float64)
+
+    # static scene (t=0 attitude, origin-centred)
+    meshes = [t.base_mesh(strict_parity=strict_parity) for t in world.targets]
+    scene = compile_scene(
+        meshes,
+        [t.GetReflCoeff() for t in world.targets],
+        [t.GetRefrIndex() for t in world.targets],
+        pad_to=pad_tris_to,
+    )
+    base = scene_base(scene, dtype=dtype)
+
+    # per-pulse transforms
+    rot = attitude_rotations(world.targets, times, params.start_time)
+    pos, vel = target_motion(world.targets, times, params.sample_time)
+
+    # per-pulse tx/rx geometry
+    txo = np.stack([np.asarray(trans.GetPosition(float(t)), np.float64).reshape(3) for t in times])
+    txd = np.stack([[float(a) for a in trans.GetRotation(float(t))] for t in times])
+    rx_pos = np.zeros((pulse_count, num_rx, 3))
+    geo_leaves = {k: [] for k in ("centre", "radius", "min_theta", "max_theta", "min_phi", "max_phi")}
+    spheres = np.array([rx.GetRxSphere() for rx in world.receivers], np.float64).reshape(num_rx, 3)
+    for i, t in enumerate(times):
+        pos_i = np.array(
+            [np.asarray(rx.GetPosition(float(t)), np.float64).reshape(3) for rx in world.receivers]
+        ).reshape(num_rx, 3)
+        rot_i = [tuple(float(a) for a in rx.GetRotation(float(t))) for rx in world.receivers]
+        g = rx_sphere_geometry(
+            pos_i,
+            np.array([r[0] for r in rot_i]),
+            np.array([r[1] for r in rot_i]),
+            spheres[:, 0],
+            spheres[:, 1],
+            spheres[:, 2],
+            strict_parity=True,
+        )
+        rx_pos[i] = pos_i
+        for k in geo_leaves:
+            geo_leaves[k].append(getattr(g, k))
+
+    rx_geom = RxGeomDevice(
+        centre=jnp.asarray(np.stack(geo_leaves["centre"]), dtype),
+        radius=jnp.asarray(np.stack(geo_leaves["radius"]), dtype),
+        min_theta=jnp.asarray(np.stack(geo_leaves["min_theta"]), dtype),
+        max_theta=jnp.asarray(np.stack(geo_leaves["max_theta"]), dtype),
+        min_phi=jnp.asarray(np.stack(geo_leaves["min_phi"]), dtype),
+        max_phi=jnp.asarray(np.stack(geo_leaves["max_phi"]), dtype),
+    )
+
+    batch = PulseBatch(
+        rot=jnp.asarray(rot, dtype),
+        pos=jnp.asarray(pos, dtype),
+        vel=jnp.asarray(vel, dtype),
+        rx_geom=rx_geom,
+        rx_pos=jnp.asarray(rx_pos, dtype),
+        tx_origin=jnp.asarray(txo, dtype),
+        tx_dir=jnp.asarray(txd, dtype),
+        times=jnp.asarray(times, dtype),
+    )
+
+    cfg = TraceConfig.from_parameters(params, strict_parity=strict_parity, tri_chunk=tri_chunk)
+    spec = CpiSpec(
+        tx_span=trans.GetTxSpan(),
+        rcs_models=[t.rcs_model for t in world.targets],
+        tx_gain=trans.antenna,
+        rx_gains=[rx.antenna for rx in world.receivers],
+        rx_rotation_fns=[rx.rotation.azel for rx in world.receivers],
+        carrier=carrier,
+        cspeed=params.c,
+        num_rx=num_rx,
+    )
+    return base, batch, cfg, spec
+
+
+def run_cpi(
+    world: World,
+    params: Parameters,
+    *,
+    tx_index: int = 0,
+    dtype=jnp.float32,
+    strict_parity: bool = False,
+    tri_chunk: int = 512,
+    attach_responses: bool = True,
+) -> CpiResult:
+    """Trace one transmitter's whole CPI in a single jit call, then
+    (optionally) attach Responses exactly like the sequential driver."""
+    base, batch, cfg, spec = prepare_cpi(
+        world,
+        params,
+        tx_index=tx_index,
+        dtype=dtype,
+        strict_parity=strict_parity,
+        tri_chunk=tri_chunk,
+    )
+    out = trace_cpi(base, batch, cfg, spec)
+
+    if attach_responses:
+        trans = world.transmitters[tx_index]
+        signal = TransmitterPulse()
+        trans.GetPulse(signal, 0)
+        wave = signal.wave
+        for rx in world.receivers:
+            rx.SetNoiseTemperature(wave.GetTemp() + rx.GetNoiseTemperature())
+        emit = np.asarray(out.agg.emit)
+        received = np.asarray(out.received)
+        power = np.asarray(out.power)
+        doppler = np.asarray(out.doppler)
+        delay = np.asarray(out.agg.delay)
+        phase = np.asarray(out.agg.phase)
+        times = np.asarray(batch.times)
+        for p in range(emit.shape[0]):
+            for i in np.flatnonzero(emit[p]):
+                rx = world.receivers[int(received[p, i])]
+                point = InterpPoint(
+                    power=float(power[p, i]),
+                    time=float(times[p]) + float(delay[p, i]),
+                    delay=float(delay[p, i]),
+                    doppler=float(doppler[p, i]),
+                    phase=float(phase[p, i]),
+                    noise_temperature=rx.GetNoiseTemperature(),
+                )
+                response = Response(wave, trans)
+                response.AddInterpPoint(point)
+                rx.AddResponse(response)
+    return out

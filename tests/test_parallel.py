@@ -1,0 +1,72 @@
+"""Multi-chip sharding: sharded CPI must be bit-identical to single-chip
+(SURVEY.md §4 item 4).  Runs on 8 virtual CPU devices (conftest)."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rts_tpu import Parameters
+from rts_tpu.engine.cpi import trace_cpi
+from rts_tpu.parallel import make_mesh, shard_batch, trace_cpi_sharded
+from rts_tpu.sim import prepare_cpi
+
+from test_driver import make_world
+
+
+def _assert_identical(a, b):
+    for name, x, y in (
+        ("power", a.power, b.power),
+        ("doppler", a.doppler, b.doppler),
+        ("delay", a.delay, b.delay),
+        ("received", a.received, b.received),
+        ("agg.power", a.agg.power, b.agg.power),
+        ("agg.delay", a.agg.delay, b.agg.delay),
+        ("agg.phase", a.agg.phase, b.agg.phase),
+        ("agg.doppler", a.agg.doppler, b.agg.doppler),
+        ("agg.npath", a.agg.npath, b.agg.npath),
+        ("agg.path_match", a.agg.path_match, b.agg.path_match),
+        ("agg.emit", a.agg.emit, b.agg.emit),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+
+@pytest.mark.parametrize("pulse_shards,ray_shards", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_equals_single(pulse_shards, ray_shards):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    w = make_world(num_pulses=8, rotating=True, target_speed=50.0)
+    params = Parameters(num_rays=2, max_refl_depth=2)
+    base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float64)
+
+    single = trace_cpi(base, batch, cfg, spec)
+
+    mesh = make_mesh(pulse_shards, ray_shards)
+    sharded = trace_cpi_sharded(base, shard_batch(batch, mesh), cfg, spec, mesh)
+    _assert_identical(single, sharded)
+
+
+def test_sharded_refraction_multistatic():
+    from rts_tpu.sim import Path, Receiver
+
+    w = make_world(num_pulses=4)
+    w.targets[0].refl_coeff = 0.6
+    w.targets[0].refr_index = 1.5
+    w.add(Receiver(name="rx1", path=Path.fixed(0, 200, 0), sphere=(5.0, 1.5, 1.5)))
+    params = Parameters(num_rays=2, max_refl_depth=2, max_refr_depth=2)
+    base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float64)
+
+    single = trace_cpi(base, batch, cfg, spec)
+    mesh = make_mesh(2, 4)
+    sharded = trace_cpi_sharded(base, shard_batch(batch, mesh), cfg, spec, mesh)
+    _assert_identical(single, sharded)
+
+
+def test_bad_divisibility_raises():
+    w = make_world(num_pulses=3)
+    params = Parameters(num_rays=2, max_refl_depth=1)
+    base, batch, cfg, spec = prepare_cpi(w, params)
+    mesh = make_mesh(2, 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        trace_cpi_sharded(base, batch, cfg, spec, mesh)
