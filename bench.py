@@ -1,0 +1,130 @@
+"""Benchmark: traced rays/sec/chip on the wavefront engine.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 1e9}
+
+Baseline (BASELINE.md): north-star >= 1e9 traced rays/sec/chip on a
+1M-triangle scene (the reference publishes no numbers of its own).
+A "ray" is one primary launch cell traced through ALL its bounces and
+refraction children (the reference's N^3 launch count, ray_tracer.cpp:1165).
+
+Usage:
+  python bench.py            # standard config
+  python bench.py --tiny     # fast smoke run (CI / CPU)
+  python bench.py --tris N --rays N --pulses N --repeat N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+
+def build(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rts_tpu import Parameters
+    from rts_tpu.sim import Path, RadarSignal, Receiver, Target, Transmitter, World, prepare_cpi
+
+    # Icosphere subdivision count that reaches ~args.tris triangles (20*4^s).
+    subdivs = max(0, round(math.log(max(args.tris, 20) / 20.0, 4.0)))
+
+    w = World()
+    w.add(
+        Transmitter(
+            path=Path.fixed(0, 0, 0),
+            wave=RadarSignal(carrier=10e9),
+            pulse_count=args.pulses,
+            prf=1000.0,
+            tx_span=(0.15, 0.15, 0.0),
+        )
+    )
+    # Generous capture sphere + an odd N (boresight ray included) so the
+    # bench exercises capture/aggregation with real received paths.
+    w.add(Receiver(path=Path.fixed(0, 0, 0), sphere=(25.0, 1.2, 1.2)))
+    w.add(
+        Target(
+            path=Path.linear([(0.0, (900.0, 0.0, 0.0)), (1.0, (950.0, 0.0, 0.0))]),
+            shape="sphere",
+            sphere_params=(subdivs, 60.0),
+            refl_coeff=0.9,
+        )
+    )
+    params = Parameters(num_rays=args.rays, max_refl_depth=2)
+    base, batch, cfg, spec = prepare_cpi(
+        w,
+        params,
+        dtype=jnp.float32,
+        tri_chunk=args.tri_chunk,
+        accel=args.accel,
+        cluster_size=args.cluster_size,
+        ray_tile=args.ray_tile,
+    )
+    return base, batch, cfg, spec, int(base.tri_verts.shape[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=81920, help="approx. triangle count")
+    ap.add_argument("--rays", type=int, default=15, help="N of the N^3 launch fan (odd keeps the boresight ray)")
+    ap.add_argument("--pulses", type=int, default=4)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--tri-chunk", type=int, default=2048)
+    ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
+    ap.add_argument("--cluster-size", type=int, default=256)
+    ap.add_argument("--ray-tile", type=int, default=256)
+    ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
+    args = ap.parse_args()
+    if args.tiny:
+        args.tris, args.rays, args.pulses, args.repeat, args.tri_chunk = 320, 3, 2, 1, 128
+        args.accel = "brute"
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rts_tpu.engine.cpi import trace_cpi
+
+    base, batch, cfg, spec, n_tris = build(args)
+    rays_per_run = cfg.rays_per_fan * args.pulses
+
+    # warm-up / compile.  NOTE: block_until_ready can return early over a
+    # tunnelled device — a scalar readback is the reliable sync.
+    out = trace_cpi(base, batch, cfg, spec)
+    float(out.power.sum())
+
+    best = math.inf
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        out = trace_cpi(base, batch, cfg, spec)
+        float(out.power.sum())
+        best = min(best, time.perf_counter() - t0)
+
+    value = rays_per_run / best
+    received = int((out.received >= 0).sum())
+    print(
+        f"# {n_tris} tris, {cfg.rays_per_fan} rays/pulse x {args.pulses} pulses, "
+        f"{cfg.num_segments} segments, best {best:.4f}s, received {received}, "
+        f"platform {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_per_chip",
+                "value": value,
+                "unit": "rays/s",
+                "vs_baseline": value / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

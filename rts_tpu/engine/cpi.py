@@ -116,14 +116,15 @@ def make_pulse_fn(
     return one_pulse, aggregate
 
 
-@partial(jax.jit, static_argnames=("cfg", "spec"))
-def _trace_cpi_jit(base, batch, cfg, spec):
-    one_pulse, aggregate = make_pulse_fn(base, cfg, **spec.kwargs())
+def map_pulses(full, batch: PulseBatch, cfg: TraceConfig):
+    """Batch ``full`` over the pulse axis.
 
-    def full(rot, pos, vel, rxg, rxp, txo, txd, t):
-        return aggregate(*one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t))
-
-    return jax.vmap(full)(
+    vmap for the dense path; lax.map (sequential per device) for the
+    clustered path — a Pallas call with HBM operands cannot be batch-
+    sliced by vmap, and per-pulse sequencing costs nothing when each
+    pulse already fills the chip via the kernel's ray-tile grid.
+    """
+    args = (
         batch.rot,
         batch.pos,
         batch.vel,
@@ -133,6 +134,19 @@ def _trace_cpi_jit(base, batch, cfg, spec):
         batch.tx_dir,
         batch.times,
     )
+    if cfg.accel == "cluster":
+        return jax.lax.map(lambda xs: full(*xs), args)
+    return jax.vmap(full)(*args)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def _trace_cpi_jit(base, batch, cfg, spec):
+    one_pulse, aggregate = make_pulse_fn(base, cfg, **spec.kwargs())
+
+    def full(rot, pos, vel, rxg, rxp, txo, txd, t):
+        return aggregate(*one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t))
+
+    return map_pulses(full, batch, cfg)
 
 
 class CpiSpec:

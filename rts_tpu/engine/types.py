@@ -117,6 +117,13 @@ class TraceConfig:
     strict_parity: bool = False
     tri_chunk: int = 512
     ray_chunk: int = 0  # 0 = no ray chunking
+    # acceleration structure: "brute" = dense matmul Möller–Trumbore over
+    # all triangles; "cluster" = Morton-clustered Pallas traversal with
+    # AABB culling (requires a cluster_reorder'ed scene, float32).
+    accel: str = "brute"
+    cluster_size: int = 256
+    ray_tile: int = 256
+    interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
 
     @classmethod
     def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":

@@ -545,21 +545,50 @@ def trace_fan(
         rcs=jnp.full((ray_total, cfg.depth_total, 2), -1000000.0, dtype),
     )
 
+    if cfg.accel == "cluster":
+        from rts_tpu.accel.cluster import cluster_aabbs
+        from rts_tpu.ops import closest_hit_clustered, pack_tri_fields
+
+        # One-time per trace: packed field layout (triangles on the lane
+        # axis) + per-cluster AABB refit from the animated verts.
+        tri_pack = pack_tri_fields(
+            scene.tri_n, scene.tri_c1, scene.tri_c0, scene.tri_e1, scene.tri_e0, scene.tri_np0
+        )
+        mn, mx = cluster_aabbs(scene.tri_p0, scene.tri_e0, scene.tri_e1, cfg.cluster_size, xp=jnp)
+
+        def hit_fn(origin, direction, tmin):
+            return closest_hit_clustered(
+                origin,
+                direction,
+                tmin,
+                tri_pack,
+                mn,
+                mx,
+                cluster_size=cfg.cluster_size,
+                ray_tile=cfg.ray_tile,
+                interpret=cfg.interpret,
+            )
+
+    else:
+
+        def hit_fn(origin, direction, tmin):
+            return closest_hit_bruteforce(
+                origin,
+                direction,
+                tmin,
+                scene.tri_p0,
+                scene.tri_e0,
+                scene.tri_e1,
+                scene.tri_n,
+                scene.tri_c1,
+                scene.tri_c0,
+                scene.tri_np0,
+                tri_chunk=cfg.tri_chunk,
+            )
+
     def body(_, carry):
         state, bufs = carry
-        hit = closest_hit_bruteforce(
-            state.origin,
-            state.direction,
-            state.tmin,
-            scene.tri_p0,
-            scene.tri_e0,
-            scene.tri_e1,
-            scene.tri_n,
-            scene.tri_c1,
-            scene.tri_c0,
-            scene.tri_np0,
-            tri_chunk=cfg.tri_chunk,
-        )
+        hit = hit_fn(state.origin, state.direction, state.tmin)
         hit_mask = state.active & hit.found
         miss_mask = state.active & ~hit.found
         state = _process_miss(state, miss_mask, rx, tx_origin, cfg)

@@ -1,0 +1,237 @@
+"""Pallas TPU kernel: clustered closest-hit traversal.
+
+The TPU-native replacement for OptiX's hardware BVH traversal
+(ray_tracer.cu:243 rtTrace).  Triangles arrive Morton-clustered
+(rts_tpu.accel) in a transposed [3, T] field layout (triangles on the
+lane axis); rays are processed in tiles of ``ray_tile``.
+
+Per grid step (one ray tile), the kernel loops over every cluster:
+
+  1. slab-test the tile's rays against the cluster AABB (VPU, ~10 ops/ray)
+     with running-best pruning (entry > best_t means the cluster cannot
+     improve the hit);
+  2. only when any ray overlaps: DMA the cluster's triangle fields
+     HBM -> VMEM and run the matmul-shaped Möller–Trumbore test
+     ([RT,3] @ [3,CS] contractions — see engine/intersect.py for the
+     identity), then fold the per-cluster argmin into the running best.
+
+Work AND data movement scale with the number of overlapping
+(ray-tile, cluster) pairs instead of rays x triangles — the wavefront
+analogue of BVH culling, with no pointer chasing and fully static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rts_tpu.engine.intersect import RT_DEFAULT_MAX, HitResult
+
+_BIG = 3.0e38  # plain float: jnp scalars would become captured kernel consts
+
+
+def _slab_overlap(o, d, tmin, best, mn, mx):
+    """Rays [RT,3] vs one AABB (mn/mx [3]).  Robust to d==0 axes."""
+    safe_d = jnp.where(d == 0.0, 1.0, d)
+    inv = 1.0 / safe_d
+    t1 = (mn[None, :] - o) * inv
+    t2 = (mx[None, :] - o) * inv
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    inside = (o >= mn[None, :]) & (o <= mx[None, :])
+    # d==0: the axis constrains nothing if o is inside the slab, else kills.
+    lo = jnp.where(d == 0.0, jnp.where(inside, -_BIG, _BIG), lo)
+    hi = jnp.where(d == 0.0, jnp.where(inside, _BIG, -_BIG), hi)
+    tn = jnp.max(lo, axis=1)
+    tf = jnp.min(hi, axis=1)
+    alive = jnp.sum(d * d, axis=1) > 0.0
+    return (tf >= tn) & (tf >= tmin) & (tn <= best) & alive
+
+
+def _mt_kernel(
+    o_ref,  # [RT, 3] VMEM
+    d_ref,  # [RT, 3] VMEM
+    tmin_ref,  # [RT, 1] VMEM
+    mn_ref,  # [C, 3] VMEM
+    mx_ref,  # [C, 3] VMEM
+    pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
+    t_out,  # [RT, 1] VMEM
+    i_out,  # [RT, 1] VMEM int32
+    b_out,  # [RT, 1] VMEM
+    g_out,  # [RT, 1] VMEM
+    pack_s,  # [16, CS] VMEM scratch
+    sem,  # DMA semaphore
+    *,
+    num_clusters: int,
+    cluster_size: int,
+):
+    o = o_ref[:]
+    d = d_ref[:]
+    tmin = tmin_ref[:, 0]
+    # Component columns [RT, 1]: K=3 contractions are VPU work, and
+    # jnp.cross/stack concatenates don't lower on Mosaic — expand manually.
+    o0, o1, o2 = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    d0, d1, d2 = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    # m = d x o (the (d x o) term of the MT identity)
+    m0 = d1 * o2 - d2 * o1
+    m1 = d2 * o0 - d0 * o2
+    m2 = d0 * o1 - d1 * o0
+
+    def dot3(a0, a1, a2, f):  # [RT,1] components @ [3,CS] field -> [RT,CS]
+        return a0 * f[0:1, :] + a1 * f[1:2, :] + a2 * f[2:3, :]
+
+    t_out[:] = jnp.full_like(t_out, _BIG)
+    i_out[:] = jnp.zeros_like(i_out)
+    b_out[:] = jnp.zeros_like(b_out)
+    g_out[:] = jnp.zeros_like(g_out)
+
+    cs = cluster_size
+
+    def body(c, _):
+        best = t_out[:, 0]
+        overlap = _slab_overlap(o, d, tmin, best, mn_ref[c, :], mx_ref[c, :])
+
+        @pl.when(jnp.any(overlap))
+        def _():
+            base = pl.multiple_of(c * cs, cs)
+            cp = pltpu.make_async_copy(
+                pack_hbm.at[:, pl.ds(base, cs)], pack_s, sem
+            )
+            cp.start()
+            cp.wait()
+
+            pack = pack_s[:]  # [16, CS] — slice rows of the VALUE
+            n_t = pack[0:3, :]
+            denom = dot3(d0, d1, d2, n_t)
+            inv = 1.0 / denom
+            t = (pack[15:16, :] - dot3(o0, o1, o2, n_t)) * inv
+            beta = (dot3(d0, d1, d2, pack[3:6, :]) - dot3(m0, m1, m2, pack[9:12, :])) * inv
+            gamma = (dot3(d0, d1, d2, pack[6:9, :]) - dot3(m0, m1, m2, pack[12:15, :])) * inv
+
+            valid = (
+                (t < RT_DEFAULT_MAX)
+                & (t > tmin[:, None])
+                & (beta >= 0.0)
+                & (gamma >= 0.0)
+                & (beta + gamma <= 1.0)
+                & overlap[:, None]
+            )
+            t_m = jnp.where(valid, t, _BIG)
+            tj = jnp.min(t_m, axis=1)
+            # One-hot select of the winning column (first minimum) —
+            # per-row gather is not lowerable on TPU.
+            cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+            j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
+            onehot = cols == j[:, None]
+            beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
+            gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
+            better = tj < t_out[:, 0]
+            t_out[:, 0] = jnp.where(better, tj, t_out[:, 0])
+            i_out[:, 0] = jnp.where(better, c * cs + j, i_out[:, 0])
+            b_out[:, 0] = jnp.where(better, beta_j, b_out[:, 0])
+            g_out[:, 0] = jnp.where(better, gamma_j, g_out[:, 0])
+
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters, body, 0)
+
+
+def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
+    """[T,3] fields -> the kernel's packed [16, T] float32 layout."""
+    return jnp.concatenate(
+        [
+            tri_n.T.astype(jnp.float32),
+            tri_c1.T.astype(jnp.float32),
+            tri_c0.T.astype(jnp.float32),
+            tri_e1.T.astype(jnp.float32),
+            tri_e0.T.astype(jnp.float32),
+            tri_np0[None, :].astype(jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cluster_size", "ray_tile", "interpret"),
+)
+def closest_hit_clustered(
+    origin,  # [L, 3]
+    direction,  # [L, 3]
+    tmin,  # [L]
+    tri_pack,  # [16, T] packed fields (pack_tri_fields), T = C * cluster_size
+    aabb_mn,  # [C, 3]
+    aabb_mx,  # [C, 3]
+    *,
+    cluster_size: int = 256,
+    ray_tile: int = 256,
+    interpret: bool = False,
+) -> HitResult:
+    """Closest valid triangle per ray via clustered traversal (float32)."""
+    l = origin.shape[0]
+    t_total = tri_pack.shape[1]
+    c = t_total // cluster_size
+    rt = ray_tile
+
+    l_pad = -(-l // rt) * rt
+    if l_pad > l:
+        pad = l_pad - l
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate([direction, jnp.zeros((pad, 3), direction.dtype)])
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
+
+    f32 = jnp.float32
+    grid = (l_pad // rt,)
+    kernel = partial(_mt_kernel, num_clusters=c, cluster_size=cluster_size)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((l_pad, 1), f32),
+        jax.ShapeDtypeStruct((l_pad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((l_pad, 1), f32),
+        jax.ShapeDtypeStruct((l_pad, 1), f32),
+    ]
+    ray_spec = pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tmin_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    best_t, best_i, best_b, best_g = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            ray_spec,
+            ray_spec,
+            tmin_spec,
+            full(),
+            full(),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((16, cluster_size), f32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        origin.astype(f32),
+        direction.astype(f32),
+        tmin.astype(f32)[:, None],
+        aabb_mn.astype(f32),
+        aabb_mx.astype(f32),
+        tri_pack.astype(f32),
+    )
+
+    best_t = best_t[:l, 0]
+    found = best_t < RT_DEFAULT_MAX
+    return HitResult(
+        t=jnp.where(found, best_t, jnp.inf).astype(origin.dtype),
+        tri=best_i[:l, 0],
+        beta=best_b[:l, 0].astype(origin.dtype),
+        gamma=best_g[:l, 0].astype(origin.dtype),
+        found=found,
+    )

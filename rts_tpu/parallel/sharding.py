@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rts_tpu.engine.animate import SceneBase
-from rts_tpu.engine.cpi import CpiResult, CpiSpec, PulseBatch, make_pulse_fn
+from rts_tpu.engine.cpi import CpiResult, CpiSpec, PulseBatch, make_pulse_fn, map_pulses
 from rts_tpu.engine.types import TraceConfig
 
 
@@ -89,7 +89,8 @@ def _trace_cpi_shmap(base: SceneBase, batch: PulseBatch, cfg: TraceConfig, spec:
         return aggregate(res, power, doppler, delay)
 
     def block(rot, pos, vel, rxg, rxp, txo, txd, t):
-        return jax.vmap(per_pulse)(rot, pos, vel, rxg, rxp, txo, txd, t)
+        local = PulseBatch(rot, pos, vel, rxg, rxp, txo, txd, t)
+        return map_pulses(per_pulse, local, cfg)
 
     in_spec = P("pulse")
     shmapped = jax.shard_map(

@@ -32,6 +32,10 @@ def prepare_cpi(
     strict_parity: bool = False,
     tri_chunk: int = 512,
     pad_tris_to: int = 1,
+    accel: str = "brute",
+    cluster_size: int = 256,
+    ray_tile: int = 256,
+    interpret: bool = False,
 ):
     """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI."""
     trans = world.transmitters[tx_index]
@@ -51,6 +55,10 @@ def prepare_cpi(
         [t.GetRefrIndex() for t in world.targets],
         pad_to=pad_tris_to,
     )
+    if accel == "cluster":
+        from rts_tpu.accel import cluster_reorder
+
+        scene = cluster_reorder(scene, cluster_size=cluster_size)
     base = scene_base(scene, dtype=dtype)
 
     # per-pulse transforms
@@ -101,7 +109,15 @@ def prepare_cpi(
         times=jnp.asarray(times, dtype),
     )
 
-    cfg = TraceConfig.from_parameters(params, strict_parity=strict_parity, tri_chunk=tri_chunk)
+    cfg = TraceConfig.from_parameters(
+        params,
+        strict_parity=strict_parity,
+        tri_chunk=tri_chunk,
+        accel=accel,
+        cluster_size=cluster_size,
+        ray_tile=ray_tile,
+        interpret=interpret,
+    )
     spec = CpiSpec(
         tx_span=trans.GetTxSpan(),
         rcs_models=[t.rcs_model for t in world.targets],

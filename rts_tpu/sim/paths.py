@@ -14,8 +14,16 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _xp_for(t):
+    """NumPy for host-side (plain float / ndarray) queries — avoids eager
+    per-op device dispatch, which is pathologically slow over a tunnelled
+    TPU — and jnp for traced values inside jit."""
+    return jnp if isinstance(t, jax.Array) else np
 
 
 def _natural_spline_m(ts: np.ndarray, ys: np.ndarray) -> np.ndarray:
@@ -69,18 +77,19 @@ class Path:
 
     def position(self, t):
         """[..., 3] position at time(s) t."""
-        t = jnp.asarray(t)
-        ts = jnp.asarray(self.times)
-        ps = jnp.asarray(self.positions)
+        xp = _xp_for(t)
+        t = xp.asarray(t)
+        ts = xp.asarray(self.times)
+        ps = xp.asarray(self.positions)
         if self.interp == "static" or len(self.times) == 1:
-            return jnp.broadcast_to(ps[0], t.shape + (3,))
-        tc = jnp.clip(t, ts[0], ts[-1])
-        i = jnp.clip(jnp.searchsorted(ts, tc, side="right") - 1, 0, len(self.times) - 2)
+            return xp.broadcast_to(ps[0], t.shape + (3,))
+        tc = xp.clip(t, ts[0], ts[-1])
+        i = xp.clip(xp.searchsorted(ts, tc, side="right") - 1, 0, len(self.times) - 2)
         h = ts[i + 1] - ts[i]
         u = (tc - ts[i]) / h
         if self.interp == "linear":
             return ps[i] + (ps[i + 1] - ps[i]) * u[..., None]
-        m2 = jnp.asarray(self._m2)
+        m2 = xp.asarray(self._m2)
         a, b = 1.0 - u, u
         return (
             a[..., None] * ps[i]
@@ -105,7 +114,7 @@ class RotationPath:
     elevation_rate: float = 0.0
 
     def azel(self, t):
-        t = jnp.asarray(t)
+        t = _xp_for(t).asarray(t)
         az = self.azimuth + self.azimuth_rate * t
         el = self.elevation + self.elevation_rate * t
         return az, el

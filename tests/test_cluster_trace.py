@@ -1,0 +1,112 @@
+"""Clustered Pallas traversal vs brute force (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rts_tpu import Parameters
+from rts_tpu.accel import cluster_aabbs, cluster_reorder, morton_order
+from rts_tpu.engine.intersect import closest_hit_bruteforce
+from rts_tpu.engine.types import scene_to_device
+from rts_tpu.geometry import rect_mesh, sphere_mesh
+from rts_tpu.geometry.scene import compile_scene
+from rts_tpu.ops import closest_hit_clustered, pack_tri_fields
+
+CS, RT = 128, 128
+
+
+def make_scene():
+    mesh, _ = sphere_mesh(3, 50.0)
+    plate = rect_mesh(2.0, 150.0, 150.0).translated([300.0, 100.0, 0.0])
+    scene = compile_scene(
+        [mesh.translated([900.0, 0.0, 0.0]), plate], [0.9, 0.7], [1.0, 1.0]
+    )
+    return cluster_reorder(scene, cluster_size=CS)
+
+
+def run_clustered(dev, o, d, tmin):
+    mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
+    pack = pack_tri_fields(dev.tri_n, dev.tri_c1, dev.tri_c0, dev.tri_e1, dev.tri_e0, dev.tri_np0)
+    return closest_hit_clustered(
+        o, d, tmin, pack, mn, mx, cluster_size=CS, ray_tile=RT, interpret=True
+    )
+
+
+def test_morton_order_is_permutation():
+    scene = make_scene()
+    perm = morton_order(scene.tri_verts[: scene.num_real_tris])
+    assert sorted(perm.tolist()) == list(range(scene.num_real_tris))
+
+
+def test_cluster_reorder_pads_and_preserves():
+    mesh, _ = sphere_mesh(2, 10.0)
+    scene = compile_scene([mesh], [1.0], [1.0])
+    out = cluster_reorder(scene, cluster_size=CS)
+    assert out.tri_verts.shape[0] % CS == 0
+    assert out.num_real_tris == scene.num_real_tris
+    # same triangle multiset (sorted corner sums)
+    a = np.sort(scene.tri_verts[: scene.num_real_tris].sum(axis=(1, 2)))
+    b = np.sort(out.tri_verts[: out.num_real_tris].sum(axis=(1, 2)))
+    np.testing.assert_allclose(a, b)
+
+
+def test_kernel_matches_bruteforce():
+    scene = make_scene()
+    dev = scene_to_device(scene, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    l = 300
+    o = np.zeros((l, 3))
+    o[100:200] = rng.uniform(-50, 950, (100, 3))
+    o[200:] = [900, 0, 0]
+    d = np.zeros((l, 3))
+    d[:100] = np.stack(
+        [np.ones(100), rng.uniform(-0.1, 0.1, 100), rng.uniform(-0.1, 0.1, 100)], -1
+    )
+    d[100:250] = rng.normal(size=(150, 3))
+    d[250:] = 0.0  # dead lanes must stay not-found
+    tmin = np.full(l, 0.005, np.float32)
+
+    o = jnp.asarray(o, jnp.float32)
+    dj = jnp.asarray(d, jnp.float32)
+    tm = jnp.asarray(tmin)
+
+    ref = closest_hit_bruteforce(
+        o, dj, tm, dev.tri_p0, dev.tri_e0, dev.tri_e1, dev.tri_n,
+        dev.tri_c1, dev.tri_c0, dev.tri_np0, tri_chunk=64,
+    )
+    got = run_clustered(dev, o, dj, tm)
+
+    np.testing.assert_array_equal(np.asarray(got.found), np.asarray(ref.found))
+    f = np.asarray(ref.found)
+    assert f.sum() > 50
+    np.testing.assert_allclose(np.asarray(got.t)[f], np.asarray(ref.t)[f], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri)[f], np.asarray(ref.tri)[f])
+    # Barycentrics suffer f32 cancellation in (d.c1 - (d x o).e1) at ~1 km
+    # origins; kernel (broadcast-sum) and brute (matmul) round differently.
+    np.testing.assert_allclose(np.asarray(got.beta)[f], np.asarray(ref.beta)[f], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.gamma)[f], np.asarray(ref.gamma)[f], rtol=2e-3, atol=1e-5)
+
+
+def test_cpi_clustered_end_to_end():
+    """Full pipeline with accel='cluster' (interpret) vs brute, f32."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+    from test_driver import make_world
+
+    w = make_world(num_pulses=2)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    b1, batch1, cfg1, spec1 = prepare_cpi(w, params, dtype=jnp.float32)
+    brute = trace_cpi(b1, batch1, cfg1, spec1)
+    b2, batch2, cfg2, spec2 = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=CS, ray_tile=RT, interpret=True
+    )
+    clus = trace_cpi(b2, batch2, cfg2, spec2)
+    np.testing.assert_array_equal(np.asarray(clus.received), np.asarray(brute.received))
+    f = np.asarray(brute.received) >= 0
+    np.testing.assert_allclose(
+        np.asarray(clus.power)[f], np.asarray(brute.power)[f], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(clus.agg.delay)[f], np.asarray(brute.agg.delay)[f], rtol=1e-6
+    )
