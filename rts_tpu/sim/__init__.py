@@ -4,6 +4,7 @@ from rts_tpu.sim.response import InterpPoint, Response
 from rts_tpu.sim.world import Receiver, Target, Transmitter, World
 from rts_tpu.sim.driver import run
 from rts_tpu.sim.cpi import prepare_cpi, run_cpi
+from rts_tpu.sim.render import RenderGrid, range_doppler_map, render_cpi_result, synthesize_cpi
 
 __all__ = [
     "AttitudePath",
@@ -17,7 +18,11 @@ __all__ = [
     "Target",
     "Transmitter",
     "World",
+    "RenderGrid",
     "prepare_cpi",
+    "range_doppler_map",
+    "render_cpi_result",
     "run",
     "run_cpi",
+    "synthesize_cpi",
 ]

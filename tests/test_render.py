@@ -1,0 +1,63 @@
+"""Range/Doppler synthesis: a moving target must land in the predicted
+range and Doppler bins (BASELINE config 5 end-to-end)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rts_tpu import Parameters
+from rts_tpu.sim import Path, RenderGrid, render_cpi_result, run_cpi
+
+from test_driver import make_world
+
+C = 299792458.0
+CARRIER = 10e9
+PRF = 1000.0
+
+
+def test_range_doppler_peak():
+    speed = 5.0  # m/s receding -> f_d ~ -2 v f / c = -333.6 Hz
+    num_pulses = 32
+    w = make_world(num_pulses=num_pulses, target_speed=speed)
+
+    params = Parameters(num_rays=1, max_refl_depth=2)
+    out = run_cpi(w, params, dtype=jnp.float64, attach_responses=False)
+
+    fs = 50e6
+    grid = RenderGrid(sample_rate=fs, num_samples=512, window_start=6.0e-6)
+    # one-sample pulse -> unambiguous range bin (a longer rect envelope
+    # gives a flat plateau where argmax is arbitrary)
+    rd, samples = render_cpi_result(out, rx_index=0, grid=grid, pulse_length=1.0 / fs)
+    rd = np.asarray(rd)
+
+    # expected range bin: first sample after the two-999 m-leg delay
+    delay = 2 * 999.0 / C
+    exp_col = int(np.ceil((delay - grid.window_start) * fs))
+    # expected Doppler bin: relativistic vr = -speed
+    vr = -speed
+    fd = CARRIER * ((1 + vr / C) / (1 - vr / C) - 1)
+    exp_row = num_pulses // 2 + int(round(fd / (PRF / num_pulses)))
+
+    row, col = np.unravel_index(np.argmax(rd), rd.shape)
+    assert abs(col - exp_col) <= 1, (col, exp_col)
+    assert abs(row - exp_row) <= 1, (row, exp_row)
+
+
+def test_static_target_zero_doppler():
+    num_pulses = 16
+    w = make_world(num_pulses=num_pulses)
+    params = Parameters(num_rays=1, max_refl_depth=2)
+    out = run_cpi(w, params, dtype=jnp.float64, attach_responses=False)
+    grid = RenderGrid(sample_rate=50e6, num_samples=512, window_start=6.0e-6)
+    rd, _ = render_cpi_result(out, rx_index=0, grid=grid, pulse_length=2e-7)
+    row, _ = np.unravel_index(np.argmax(np.asarray(rd)), rd.shape)
+    assert row == num_pulses // 2  # zero-Doppler ridge
+
+
+def test_empty_map_when_no_returns():
+    w = make_world()
+    w.targets[0].path = Path.fixed(0, 0, 1e7)  # far away, fan misses
+    params = Parameters(num_rays=1, max_refl_depth=1)
+    out = run_cpi(w, params, dtype=jnp.float64, attach_responses=False)
+    grid = RenderGrid(sample_rate=50e6, num_samples=128, window_start=0.0)
+    rd, samples = render_cpi_result(out, rx_index=0, grid=grid)
+    assert float(np.abs(np.asarray(samples)).max()) == 0.0
