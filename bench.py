@@ -31,9 +31,6 @@ def build(args):
     from rts_tpu import Parameters
     from rts_tpu.sim import Path, RadarSignal, Receiver, Target, Transmitter, World, prepare_cpi
 
-    # Icosphere subdivision count that reaches ~args.tris triangles (20*4^s).
-    subdivs = max(0, round(math.log(max(args.tris, 20) / 20.0, 4.0)))
-
     w = World()
     w.add(
         Transmitter(
@@ -47,14 +44,35 @@ def build(args):
     # Generous capture sphere + an odd N (boresight ray included) so the
     # bench exercises capture/aggregation with real received paths.
     w.add(Receiver(path=Path.fixed(0, 0, 0), sphere=(25.0, 1.2, 1.2)))
-    w.add(
-        Target(
-            path=Path.linear([(0.0, (900.0, 0.0, 0.0)), (1.0, (950.0, 0.0, 0.0))]),
-            shape="sphere",
-            sphere_params=(subdivs, 60.0),
-            refl_coeff=0.9,
+    if args.scene == "terrain":
+        # BASELINE config 4: large terrain, grazing view from altitude.
+        n = max(2, round(math.sqrt(args.tris / 2)) + 1)
+        w.transmitters[0].path = Path.fixed(-6000.0, 0.0, 2500.0)
+        w.receivers[0].path = Path.fixed(-6000.0, 0.0, 2500.0)
+        w.add(
+            Target(
+                shape="terrain",
+                terrain=(n, 12000.0, 400.0, 3),
+                path=Path.fixed(3000.0, 0.0, -500.0),
+                refl_coeff=0.9,
+            )
         )
-    )
+        el = -math.atan2(3000.0, 9000.0)
+        from rts_tpu.sim import RotationPath
+
+        w.transmitters[0].rotation = RotationPath(elevation=el)
+        w.receivers[0].rotation = RotationPath(elevation=el)
+    else:
+        # Icosphere subdivision count reaching ~args.tris triangles (20*4^s).
+        subdivs = max(0, round(math.log(max(args.tris, 20) / 20.0, 4.0)))
+        w.add(
+            Target(
+                path=Path.linear([(0.0, (900.0, 0.0, 0.0)), (1.0, (950.0, 0.0, 0.0))]),
+                shape="sphere",
+                sphere_params=(subdivs, 60.0),
+                refl_coeff=0.9,
+            )
+        )
     params = Parameters(num_rays=args.rays, max_refl_depth=2)
     base, batch, cfg, spec = prepare_cpi(
         w,
@@ -75,6 +93,7 @@ def main():
     ap.add_argument("--pulses", type=int, default=4)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
+    ap.add_argument("--scene", choices=("sphere", "terrain"), default="sphere")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--ray-tile", type=int, default=256)

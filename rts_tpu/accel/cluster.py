@@ -40,7 +40,12 @@ def morton_order(tri_verts: np.ndarray) -> np.ndarray:
 
     ``tri_verts``: [T, 3, 3].  Degenerate all-zero triangles (padding)
     sort wherever their centroid lands — harmless, they can never be hit.
+    Uses the C++ runtime when built (bit-identical to the NumPy path).
     """
+    from rts_tpu import native
+
+    if native.available():
+        return native.morton_order(tri_verts)
     c = tri_verts.mean(axis=1)  # [T, 3]
     lo = c.min(axis=0)
     span = c.max(axis=0) - lo

@@ -16,6 +16,13 @@ from rts_tpu.geometry.mesh import Mesh
 
 
 def _read_triplets(path: str) -> np.ndarray:
+    from rts_tpu import native
+
+    if native.available():
+        vals = native.load_triplets(path)
+        if vals.size % 3 != 0 or (vals.shape[0] % 3) != 0:
+            raise ValueError(f"{path}: expected 9 values per line (3 vertices)")
+        return vals
     with open(path, "r") as fh:
         text = fh.read()
     vals = np.array(text.replace(",", " ").split(), dtype=np.float64)

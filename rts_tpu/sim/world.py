@@ -119,6 +119,7 @@ class Target:
     rect: tuple = (1.0, 1.0, 1.0)
     sphere_params: tuple = (2, 1.0)  # (subdivs, radius)
     files: tuple = ("", "")  # (vertex file, normal file)
+    terrain: tuple = (64, 1000.0, 50.0, 0)  # (n, extent, peak height, seed) — extension
     refl_coeff: float = 1.0
     refr_index: float = 1.0
     rcs_model: object = dataclasses.field(default_factory=IsoRCS)
@@ -136,6 +137,14 @@ class Target:
             return mesh
         if self.shape == "file":
             return file_mesh(self.files[0], self.files[1], yaw=yaw, pitch=pitch, roll=roll, strict_parity=strict_parity)
+        if self.shape == "terrain":
+            from rts_tpu.geometry import terrain_mesh
+
+            n, extent, peak, seed = self.terrain
+            return terrain_mesh(
+                int(n), extent, peak, seed=int(seed),
+                yaw=yaw, pitch=pitch, roll=roll, strict_parity=strict_parity,
+            )
         raise ValueError(f"unknown target shape {self.shape!r}")
 
     # --- reference-shaped API -------------------------------------------
