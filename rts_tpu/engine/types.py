@@ -123,6 +123,7 @@ class TraceConfig:
     accel: str = "brute"
     cluster_size: int = 256
     ray_tile: int = 256
+    group_size: int = 8  # clusters per supercluster (2-level culling)
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
 
     @classmethod

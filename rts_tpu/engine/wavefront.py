@@ -566,6 +566,7 @@ def trace_fan(
                 mx,
                 cluster_size=cfg.cluster_size,
                 ray_tile=cfg.ray_tile,
+                group_size=cfg.group_size,
                 interpret=cfg.interpret,
             )
 

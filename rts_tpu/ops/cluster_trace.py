@@ -56,8 +56,10 @@ def _mt_kernel(
     o_ref,  # [RT, 3] VMEM
     d_ref,  # [RT, 3] VMEM
     tmin_ref,  # [RT, 1] VMEM
-    mn_ref,  # [C, 3] VMEM
-    mx_ref,  # [C, 3] VMEM
+    mn_ref,  # [Cp, 3] VMEM (padded to a multiple of group_size)
+    mx_ref,  # [Cp, 3] VMEM
+    gmn_ref,  # [G, 3] VMEM supercluster bounds
+    gmx_ref,  # [G, 3] VMEM
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -66,8 +68,9 @@ def _mt_kernel(
     pack_s,  # [16, CS] VMEM scratch
     sem,  # DMA semaphore
     *,
-    num_clusters: int,
+    num_clusters: int,  # padded count Cp
     cluster_size: int,
+    group_size: int,
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -91,7 +94,7 @@ def _mt_kernel(
 
     cs = cluster_size
 
-    def body(c, _):
+    def cluster_body(c, _):
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, mn_ref[c, :], mx_ref[c, :])
 
@@ -137,7 +140,21 @@ def _mt_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_clusters, body, 0)
+    # Two-level culling: outer loop over superclusters (groups of
+    # ``group_size`` consecutive Morton clusters) prunes whole groups with
+    # one slab test — the in-kernel loop overhead, not the compute, is
+    # what dominates when most clusters miss.
+    def group_body(g, _):
+        best = t_out[:, 0]
+        overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
+
+        @pl.when(jnp.any(overlap))
+        def _():
+            jax.lax.fori_loop(g * group_size, (g + 1) * group_size, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters // group_size, group_body, 0)
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -157,7 +174,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "interpret"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "interpret"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -169,6 +186,7 @@ def closest_hit_clustered(
     *,
     cluster_size: int = 256,
     ray_tile: int = 256,
+    group_size: int = 8,
     interpret: bool = False,
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32)."""
@@ -176,6 +194,16 @@ def closest_hit_clustered(
     t_total = tri_pack.shape[1]
     c = t_total // cluster_size
     rt = ray_tile
+
+    # Pad the cluster list to a group multiple with inverted (never-hit)
+    # boxes; their triangles are never DMA'd so OOB bases are unreachable.
+    c_pad = -(-c // group_size) * group_size
+    if c_pad > c:
+        pad = c_pad - c
+        aabb_mn = jnp.concatenate([aabb_mn, jnp.full((pad, 3), _BIG, aabb_mn.dtype)])
+        aabb_mx = jnp.concatenate([aabb_mx, jnp.full((pad, 3), -_BIG, aabb_mx.dtype)])
+    g_mn = aabb_mn.reshape(c_pad // group_size, group_size, 3).min(axis=1)
+    g_mx = aabb_mx.reshape(c_pad // group_size, group_size, 3).max(axis=1)
 
     l_pad = -(-l // rt) * rt
     if l_pad > l:
@@ -186,7 +214,9 @@ def closest_hit_clustered(
 
     f32 = jnp.float32
     grid = (l_pad // rt,)
-    kernel = partial(_mt_kernel, num_clusters=c, cluster_size=cluster_size)
+    kernel = partial(
+        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size, group_size=group_size
+    )
 
     out_shape = [
         jax.ShapeDtypeStruct((l_pad, 1), f32),
@@ -209,6 +239,8 @@ def closest_hit_clustered(
             tmin_spec,
             full(),
             full(),
+            full(),
+            full(),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
@@ -223,6 +255,8 @@ def closest_hit_clustered(
         tmin.astype(f32)[:, None],
         aabb_mn.astype(f32),
         aabb_mx.astype(f32),
+        g_mn.astype(f32),
+        g_mx.astype(f32),
         tri_pack.astype(f32),
     )
 

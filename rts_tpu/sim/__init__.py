@@ -5,6 +5,7 @@ from rts_tpu.sim.world import Receiver, Target, Transmitter, World
 from rts_tpu.sim.driver import run
 from rts_tpu.sim.cpi import prepare_cpi, run_cpi
 from rts_tpu.sim.render import RenderGrid, range_doppler_map, render_cpi_result, synthesize_cpi
+from rts_tpu.sim.config_io import load_world, world_from_dict, world_from_xml
 
 __all__ = [
     "AttitudePath",
@@ -19,6 +20,7 @@ __all__ = [
     "Transmitter",
     "World",
     "RenderGrid",
+    "load_world",
     "prepare_cpi",
     "range_doppler_map",
     "render_cpi_result",
