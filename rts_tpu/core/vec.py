@@ -90,6 +90,18 @@ def refract3(i, n, ior):
     return r, ok
 
 
+def triangle_area(p1, p2, p3):
+    """Heron's-formula triangle area (C2 host util, ray_tracer.cpp:104-116;
+    the reference keeps it for a commented-out mesh statistic at :196)."""
+    import numpy as np
+
+    a = np.linalg.norm(np.subtract(p2, p1))
+    b = np.linalg.norm(np.subtract(p3, p2))
+    c = np.linalg.norm(np.subtract(p1, p3))
+    s = (a + b + c) / 2.0
+    return float(np.sqrt(max(s * (s - a) * (s - b) * (s - c), 0.0)))
+
+
 def wrap_angle(angle):
     """Normalise an angle to (-pi, pi] like the while-loops at
     ray_tracer.cu:53-57.  (Behaviour at exactly +/-pi is measure-zero and

@@ -123,3 +123,42 @@ class TestRotation:
         assert np.allclose(out[0], [0, 1, 0], atol=1e-12)
         assert np.allclose(out[1], [-1, 0, 0], atol=1e-12)
         assert np.allclose(out[2], [0, 0, 1], atol=1e-12)
+
+
+class TestVecTypes:
+    def test_vec3_ops(self):
+        from rts_tpu.core import Vec3, SVec3, d3_to_v3, svec3
+
+        a, b = Vec3(1, 2, 3), Vec3(4, 5, 6)
+        assert (a + b).tuple() == (5, 7, 9)
+        assert (b - a).tuple() == (3, 3, 3)
+        assert a * b == 32.0  # dot, FERS operator semantics
+        assert (2 * a).tuple() == (2, 4, 6)
+        assert a.cross(b).tuple() == (-3, 6, -3)
+        np.testing.assert_allclose(Vec3(3, 4, 0).length, 5.0)
+        assert d3_to_v3([1.0, 2.0, 3.0]) == Vec3(1, 2, 3)
+
+        s = svec3(Vec3(1, 1, 0))
+        np.testing.assert_allclose(s.length, np.sqrt(2))
+        np.testing.assert_allclose(s.azimuth, np.pi / 4)
+        back = s.to_cartesian()
+        np.testing.assert_allclose((back.x, back.y, back.z), (1, 1, 0), atol=1e-15)
+
+    def test_triangle_area(self):
+        from rts_tpu.core.vec import triangle_area
+
+        np.testing.assert_allclose(triangle_area([0, 0, 0], [1, 0, 0], [0, 1, 0]), 0.5, rtol=1e-12)
+        assert triangle_area([0, 0, 0], [1, 0, 0], [2, 0, 0]) == 0.0
+
+
+class TestPhaseTimer:
+    def test_accumulates(self):
+        from rts_tpu.utils import PhaseTimer
+
+        pt = PhaseTimer()
+        for _ in range(3):
+            with pt.phase("trace"):
+                pass
+        assert pt.counts["trace"] == 3
+        assert "trace" in pt.report()
+        assert pt.rays_per_second("trace", 300) > 0
