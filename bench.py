@@ -95,7 +95,7 @@ def main():
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain"), default="sphere")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
-    ap.add_argument("--cluster-size", type=int, default=256)
+    ap.add_argument("--cluster-size", type=int, default=1024)
     ap.add_argument("--ray-tile", type=int, default=256)
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     args = ap.parse_args()

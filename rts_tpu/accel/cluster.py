@@ -90,21 +90,27 @@ def cluster_reorder(scene, cluster_size: int = 256):
     )
 
 
-def cluster_aabbs(tri_p0, tri_e0, tri_e1, cluster_size: int, xp=np):
+def cluster_aabbs(tri_p0, tri_e0, tri_e1, cluster_size: int, xp=np, tri_target=None):
     """Per-cluster AABBs from the engine's edge representation, inside jit.
 
     v0 = p0, v1 = p0 + e0, v2 = p0 - e1 (see DeviceScene).  Padding
-    triangles are all-zero, which would poison cluster bounds with the
-    origin — but padding only occurs in the *trailing* cluster(s) whose
-    real triangles... can't be distinguished cheaply, so we accept the
-    origin point in the final cluster's box (a slightly loose box never
-    affects correctness, only adds one candidate cluster near the origin).
+    triangles (tri_target < 0, all-zero corners) would otherwise poison
+    the trailing cluster's box with the origin — mask them to an inverted
+    (never-hit) contribution when ``tri_target`` is provided.
     """
     t = tri_p0.shape[0]
     c = t // cluster_size
+    big = xp.asarray(3.0e38, tri_p0.dtype)
     v0 = tri_p0.reshape(c, cluster_size, 3)
     v1 = (tri_p0 + tri_e0).reshape(c, cluster_size, 3)
     v2 = (tri_p0 - tri_e1).reshape(c, cluster_size, 3)
+    if tri_target is not None:
+        pad = (tri_target < 0).reshape(c, cluster_size, 1)
+        lo = lambda v: xp.where(pad, big, v)
+        hi = lambda v: xp.where(pad, -big, v)
+        mn = xp.minimum(xp.minimum(lo(v0).min(axis=1), lo(v1).min(axis=1)), lo(v2).min(axis=1))
+        mx = xp.maximum(xp.maximum(hi(v0).max(axis=1), hi(v1).max(axis=1)), hi(v2).max(axis=1))
+        return mn, mx
     mn = xp.minimum(xp.minimum(v0.min(axis=1), v1.min(axis=1)), v2.min(axis=1))
     mx = xp.maximum(xp.maximum(v0.max(axis=1), v1.max(axis=1)), v2.max(axis=1))
     return mn, mx

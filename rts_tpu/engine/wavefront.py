@@ -554,7 +554,10 @@ def trace_fan(
         tri_pack = pack_tri_fields(
             scene.tri_n, scene.tri_c1, scene.tri_c0, scene.tri_e1, scene.tri_e0, scene.tri_np0
         )
-        mn, mx = cluster_aabbs(scene.tri_p0, scene.tri_e0, scene.tri_e1, cfg.cluster_size, xp=jnp)
+        mn, mx = cluster_aabbs(
+            scene.tri_p0, scene.tri_e0, scene.tri_e1, cfg.cluster_size, xp=jnp,
+            tri_target=scene.tri_target,
+        )
 
         def hit_fn(origin, direction, tmin):
             return closest_hit_clustered(
@@ -564,6 +567,7 @@ def trace_fan(
                 tri_pack,
                 mn,
                 mx,
+                tx_origin,  # near-to-far group order from the Tx
                 cluster_size=cfg.cluster_size,
                 ray_tile=cfg.ray_tile,
                 group_size=cfg.group_size,
@@ -589,7 +593,12 @@ def trace_fan(
 
     def body(_, carry):
         state, bufs = carry
-        hit = hit_fn(state.origin, state.direction, state.tmin)
+        # Zero the direction of terminated/unborn lanes: their hit results
+        # are never consumed (hit/miss masks AND with active), and a zero
+        # direction lets the clustered kernel's slab test drop them from
+        # every tile — segments after most lanes die become nearly free.
+        live_dir = jnp.where(state.active[:, None], state.direction, 0.0)
+        hit = hit_fn(state.origin, live_dir, state.tmin)
         hit_mask = state.active & hit.found
         miss_mask = state.active & ~hit.found
         state = _process_miss(state, miss_mask, rx, tx_origin, cfg)

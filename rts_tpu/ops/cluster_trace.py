@@ -60,6 +60,7 @@ def _mt_kernel(
     mx_ref,  # [Cp, 3] VMEM
     gmn_ref,  # [G, 3] VMEM supercluster bounds
     gmx_ref,  # [G, 3] VMEM
+    gorder_ref,  # [G, 1] SMEM int32 — group visit order (near-to-far)
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -143,8 +144,11 @@ def _mt_kernel(
     # Two-level culling: outer loop over superclusters (groups of
     # ``group_size`` consecutive Morton clusters) prunes whole groups with
     # one slab test — the in-kernel loop overhead, not the compute, is
-    # what dominates when most clusters miss.
-    def group_body(g, _):
+    # what dominates when most clusters miss.  Groups are visited in the
+    # caller-provided near-to-far order so the running-best prune
+    # (tn <= best in the slab test) rejects far geometry without DMA.
+    def group_body(gi, _):
+        g = gorder_ref[gi, 0]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
 
@@ -183,6 +187,7 @@ def closest_hit_clustered(
     tri_pack,  # [16, T] packed fields (pack_tri_fields), T = C * cluster_size
     aabb_mn,  # [C, 3]
     aabb_mx,  # [C, 3]
+    sort_origin=None,  # [3] — visit groups near-to-far from here (e.g. Tx)
     *,
     cluster_size: int = 256,
     ray_tile: int = 256,
@@ -204,6 +209,15 @@ def closest_hit_clustered(
         aabb_mx = jnp.concatenate([aabb_mx, jnp.full((pad, 3), -_BIG, aabb_mx.dtype)])
     g_mn = aabb_mn.reshape(c_pad // group_size, group_size, 3).min(axis=1)
     g_mx = aabb_mx.reshape(c_pad // group_size, group_size, 3).max(axis=1)
+    n_groups = c_pad // group_size
+    if sort_origin is None:
+        g_order = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+    else:
+        centre = (g_mn + g_mx) * 0.5
+        dist = jnp.sum((centre - jnp.asarray(sort_origin)[None, :]) ** 2, axis=1)
+        # inverted (all-padding) groups can never overlap — push them last
+        dist = jnp.where(jnp.isfinite(dist) & (g_mn[:, 0] <= g_mx[:, 0]), dist, jnp.inf)
+        g_order = jnp.argsort(dist).astype(jnp.int32)[:, None]
 
     l_pad = -(-l // rt) * rt
     if l_pad > l:
@@ -241,6 +255,7 @@ def closest_hit_clustered(
             full(),
             full(),
             full(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
@@ -257,6 +272,7 @@ def closest_hit_clustered(
         aabb_mx.astype(f32),
         g_mn.astype(f32),
         g_mx.astype(f32),
+        g_order,
         tri_pack.astype(f32),
     )
 

@@ -131,6 +131,15 @@ def prepare_cpi(
     return base, batch, cfg, spec
 
 
+def run_all_cpi(world: World, params: Parameters, **kw) -> list:
+    """Trace every transmitter's CPI (the outer loop of rs::RTS,
+    ray_tracer.cpp:806); returns one CpiResult per transmitter."""
+    return [
+        run_cpi(world, params, tx_index=i, **kw)
+        for i in range(len(world.transmitters))
+    ]
+
+
 def run_cpi(
     world: World,
     params: Parameters,

@@ -63,6 +63,19 @@ def test_sharded_refraction_multistatic():
     _assert_identical(single, sharded)
 
 
+def test_sharded_clustered_kernel():
+    """Pallas clustered traversal (interpret) under shard_map."""
+    w = make_world(num_pulses=4)
+    params = Parameters(num_rays=2, max_refl_depth=2)
+    base, batch, cfg, spec = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=128, ray_tile=128, interpret=True
+    )
+    single = trace_cpi(base, batch, cfg, spec)
+    mesh = make_mesh(2, 2)
+    sharded = trace_cpi_sharded(base, shard_batch(batch, mesh), cfg, spec, mesh)
+    _assert_identical(single, sharded)
+
+
 def test_bad_divisibility_raises():
     w = make_world(num_pulses=3)
     params = Parameters(num_rays=2, max_refl_depth=1)
