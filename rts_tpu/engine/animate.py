@@ -27,10 +27,17 @@ from rts_tpu.geometry.scene import SceneArrays
 
 
 class SceneBase(NamedTuple):
-    """Time-invariant scene: target-frame triangle soup + materials."""
+    """Time-invariant scene: target-frame triangle soup + materials.
+
+    ``tri_verts_t`` is the host-transposed [9, T] corner-component layout
+    (row = corner*3 + axis) consumed by the component-wise packed
+    animation path — transposing [T, 3, 3] on device every pulse is a
+    strided relayout TPU hates.
+    """
 
     tri_verts: jnp.ndarray  # [T, 3, 3] corner positions (t=0 attitude, origin-centred)
-    tri_corner_normals: jnp.ndarray  # [T, 3, 3]
+    tri_verts_t: jnp.ndarray  # [9, T] same data, component-major
+    tri_corner_normals: jnp.ndarray  # [T, 3, 3] (t=0 attitude — rotated per hit, not per pulse)
     tri_target: jnp.ndarray  # [T] int32, -1 padding
     target_refl: jnp.ndarray  # [NT]
     target_refr: jnp.ndarray  # [NT]
@@ -41,8 +48,10 @@ class SceneBase(NamedTuple):
 
 
 def scene_base(scene: SceneArrays, dtype=jnp.float32) -> SceneBase:
+    tv = np.asarray(scene.tri_verts)
     return SceneBase(
-        tri_verts=jnp.asarray(scene.tri_verts, dtype),
+        tri_verts=jnp.asarray(tv, dtype),
+        tri_verts_t=jnp.asarray(np.ascontiguousarray(tv.reshape(-1, 9).T), dtype),
         tri_corner_normals=jnp.asarray(scene.tri_normals, dtype),
         tri_target=jnp.asarray(scene.tri_target, jnp.int32),
         target_refl=jnp.asarray(scene.target_refl_coeff, dtype),
@@ -76,6 +85,100 @@ def animate_scene(
         tri_c0=c0,
         tri_np0=np0,
         tri_corner_normals=normals,
+        tri_target=base.tri_target,
+        target_refl=base.target_refl,
+        target_refr=base.target_refr,
+        target_vel=vel,
+    )
+
+
+class ClusterScene(NamedTuple):
+    """Per-pulse scene in the clustered engine's native layout.
+
+    Traversal consumes the packed [16, T] field matrix and cluster AABBs
+    directly; shading rotates *gathered* base normals by the per-target
+    attitude at hit time (O(lanes), not O(T) — rotation is linear, so it
+    commutes with barycentric interpolation).
+    """
+
+    tri_pack: jnp.ndarray  # [16, T] rows: n(3) c1(3) c0(3) e1(3) e0(3) np0
+    aabb_mn: jnp.ndarray  # [C, 3]
+    aabb_mx: jnp.ndarray  # [C, 3]
+    base_corner_normals: jnp.ndarray  # [T, 3, 3] t=0 attitude (static)
+    rot: jnp.ndarray  # [NT, 3, 3] extra attitude rotation this pulse
+    tri_target: jnp.ndarray  # [T] int32
+    target_refl: jnp.ndarray  # [NT]
+    target_refr: jnp.ndarray  # [NT]
+    target_vel: jnp.ndarray  # [NT, 3]
+
+
+def animate_packed(
+    base: SceneBase,
+    rot: jnp.ndarray,  # [NT, 3, 3]
+    pos: jnp.ndarray,  # [NT, 3]
+    vel: jnp.ndarray,  # [NT, 3]
+    cluster_size: int,
+) -> ClusterScene:
+    """Rigid-transform straight into the traversal kernel's layout.
+
+    Everything is component-wise over [T] rows (9 rotation gathers + a
+    few dozen fused VPU ops) — no [T, 3, 3] einsum, no device transposes.
+    """
+    nt = base.target_refl.shape[0]
+    tid = jnp.clip(base.tri_target, 0, nt - 1)
+    pad = base.tri_target < 0
+
+    r = rot.reshape(nt, 9).T[:, tid]  # [9, T] per-tri rotation components
+    s = jnp.where(pad[None, :], 0.0, pos.T[:, tid])  # [3, T]
+    v = base.tri_verts_t  # [9, T], rows corner*3 + axis
+
+    def corner(c):
+        bx, by, bz = v[3 * c + 0], v[3 * c + 1], v[3 * c + 2]
+        return (
+            r[0] * bx + r[1] * by + r[2] * bz + s[0],
+            r[3] * bx + r[4] * by + r[5] * bz + s[1],
+            r[6] * bx + r[7] * by + r[8] * bz + s[2],
+        )
+
+    p0 = corner(0)
+    p1 = corner(1)
+    p2 = corner(2)
+    e0 = tuple(p1[i] - p0[i] for i in range(3))
+    e1 = tuple(p0[i] - p2[i] for i in range(3))
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    n = cross(e1, e0)
+    c1 = cross(p0, e1)
+    c0 = cross(p0, e0)
+    np0 = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
+    tri_pack = jnp.stack([*n, *c1, *c0, *e1, *e0, np0], axis=0)
+
+    # cluster AABBs from the corner components (padding tris inverted)
+    t = v.shape[1]
+    c_count = t // cluster_size
+    big = jnp.asarray(3.0e38, v.dtype)
+    mns, mxs = [], []
+    for axis in range(3):
+        comps = jnp.stack([p0[axis], p1[axis], p2[axis]], axis=0)  # [3, T]
+        lo = jnp.where(pad[None, :], big, comps).reshape(3, c_count, cluster_size)
+        hi = jnp.where(pad[None, :], -big, comps).reshape(3, c_count, cluster_size)
+        mns.append(lo.min(axis=(0, 2)))
+        mxs.append(hi.max(axis=(0, 2)))
+    aabb_mn = jnp.stack(mns, axis=1)
+    aabb_mx = jnp.stack(mxs, axis=1)
+
+    return ClusterScene(
+        tri_pack=tri_pack,
+        aabb_mn=aabb_mn,
+        aabb_mx=aabb_mx,
+        base_corner_normals=base.tri_corner_normals,
+        rot=rot,
         tri_target=base.tri_target,
         target_refl=base.target_refl,
         target_refr=base.target_refr,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from rts_tpu.aggregate import LaneAggregate, aggregate_lanes
-from rts_tpu.engine.animate import SceneBase, animate_scene
+from rts_tpu.engine.animate import SceneBase, animate_packed, animate_scene
 from rts_tpu.engine.fan import generate_fan
 from rts_tpu.engine.types import RxGeomDevice, TraceConfig
 from rts_tpu.engine.wavefront import trace_fan
@@ -76,7 +76,10 @@ def make_pulse_fn(
 
     def one_pulse(rot, pos, vel, rx_geom: RxGeomDevice, rx_pos, tx_origin, tx_dir, time_t):
         dtype = base.tri_verts.dtype
-        scene = animate_scene(base, rot, pos, vel)
+        if cfg.accel == "cluster":
+            scene = animate_packed(base, rot, pos, vel, cfg.cluster_size)
+        else:
+            scene = animate_scene(base, rot, pos, vel)
         fan = generate_fan(cfg.num_rays, (tx_dir[0], tx_dir[1]), tx_span, dtype=dtype)
         if fan_slice is not None:
             n_shards, index = fan_slice

@@ -193,7 +193,24 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     origin = jnp.where(gate[:, None], hit_point, state.origin)
 
     # --- shading normal (triangle_mesh.cu:174-194)
-    if cfg.interpolate_smooth:
+    from rts_tpu.engine.animate import ClusterScene
+
+    if isinstance(scene, ClusterScene):
+        if cfg.interpolate_smooth:
+            # Interpolate BASE normals, rotate the result per lane —
+            # rotation is linear so this equals rotating all T normals
+            # per pulse, at O(lanes) instead of O(T).
+            cn = scene.base_corner_normals[tri]  # [L, 3, 3]
+            nrm_b = (
+                cn[:, 1] * hit.beta[:, None]
+                + cn[:, 2] * hit.gamma[:, None]
+                + cn[:, 0] * (1.0 - hit.beta - hit.gamma)[:, None]
+            )
+            nrm = jnp.einsum("lij,lj->li", scene.rot[targ_safe], nrm_b)
+        else:
+            # geometric normal = pack rows 0:3, already world-frame
+            nrm = scene.tri_pack[0:3, :][:, tri].T
+    elif cfg.interpolate_smooth:
         cn = scene.tri_corner_normals[tri]  # [L, 3, 3]
         nrm = (
             cn[:, 1] * hit.beta[:, None]
@@ -535,7 +552,7 @@ def trace_fan(
     produces the same layout over its block, and the pulse-level result is
     reassembled by an all-gather + slot-major interleave (parallel/).
     """
-    dtype = scene.tri_p0.dtype
+    dtype = scene[0].dtype  # tri_p0 (DeviceScene) or tri_pack (ClusterScene)
     tx_origin = jnp.asarray(tx_origin, dtype)
     n3 = fan_dirs.shape[0]
     ray_total = cfg.slot_multiplier * n3
@@ -547,17 +564,21 @@ def trace_fan(
 
     if cfg.accel == "cluster":
         from rts_tpu.accel.cluster import cluster_aabbs
+        from rts_tpu.engine.animate import ClusterScene
         from rts_tpu.ops import closest_hit_clustered, pack_tri_fields
 
-        # One-time per trace: packed field layout (triangles on the lane
-        # axis) + per-cluster AABB refit from the animated verts.
-        tri_pack = pack_tri_fields(
-            scene.tri_n, scene.tri_c1, scene.tri_c0, scene.tri_e1, scene.tri_e0, scene.tri_np0
-        )
-        mn, mx = cluster_aabbs(
-            scene.tri_p0, scene.tri_e0, scene.tri_e1, cfg.cluster_size, xp=jnp,
-            tri_target=scene.tri_target,
-        )
+        if isinstance(scene, ClusterScene):
+            # animate_packed already produced the kernel-native layout
+            tri_pack, mn, mx = scene.tri_pack, scene.aabb_mn, scene.aabb_mx
+        else:
+            # DeviceScene fallback: pack + refit on the fly
+            tri_pack = pack_tri_fields(
+                scene.tri_n, scene.tri_c1, scene.tri_c0, scene.tri_e1, scene.tri_e0, scene.tri_np0
+            )
+            mn, mx = cluster_aabbs(
+                scene.tri_p0, scene.tri_e0, scene.tri_e1, cfg.cluster_size, xp=jnp,
+                tri_target=scene.tri_target,
+            )
 
         def hit_fn(origin, direction, tmin):
             return closest_hit_clustered(
