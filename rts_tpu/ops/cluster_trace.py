@@ -66,8 +66,8 @@ def _mt_kernel(
     i_out,  # [RT, 1] VMEM int32
     b_out,  # [RT, 1] VMEM
     g_out,  # [RT, 1] VMEM
-    pack_s,  # [16, CS] VMEM scratch
-    sem,  # DMA semaphore
+    pack_s,  # [2, 16, CS] VMEM scratch (double-buffered)
+    sem,  # DMA semaphores (2,)
     *,
     num_clusters: int,  # padded count Cp
     cluster_size: int,
@@ -95,51 +95,73 @@ def _mt_kernel(
 
     cs = cluster_size
 
-    def cluster_body(c, _):
+    def get_dma(c, slot):
+        base = pl.multiple_of(c * cs, cs)
+        return pltpu.make_async_copy(
+            pack_hbm.at[:, pl.ds(base, cs)], pack_s.at[slot], sem.at[slot]
+        )
+
+    def process(c, slot):
+        """MT-test cluster ``c`` whose tile sits in scratch ``slot``.
+
+        The AABB overlap mask is deliberately NOT part of validity: a hit
+        triangle always lies inside its own cluster's box, so the exact
+        MT predicates subsume it — which is what lets processing be
+        deferred past the slab stage for DMA/compute overlap.
+        """
+        pack = pack_s[slot]  # [16, CS] — slice rows of the VALUE
+        n_t = pack[0:3, :]
+        denom = dot3(d0, d1, d2, n_t)
+        inv = 1.0 / denom
+        t = (pack[15:16, :] - dot3(o0, o1, o2, n_t)) * inv
+        beta = (dot3(d0, d1, d2, pack[3:6, :]) - dot3(m0, m1, m2, pack[9:12, :])) * inv
+        gamma = (dot3(d0, d1, d2, pack[6:9, :]) - dot3(m0, m1, m2, pack[12:15, :])) * inv
+
+        valid = (
+            (t < RT_DEFAULT_MAX)
+            & (t > tmin[:, None])
+            & (beta >= 0.0)
+            & (gamma >= 0.0)
+            & (beta + gamma <= 1.0)
+        )
+        t_m = jnp.where(valid, t, _BIG)
+        tj = jnp.min(t_m, axis=1)
+        # One-hot select of the winning column (first minimum) —
+        # per-row gather is not lowerable on TPU.
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
+        onehot = cols == j[:, None]
+        beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
+        gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
+        better = tj < t_out[:, 0]
+        t_out[:, 0] = jnp.where(better, tj, t_out[:, 0])
+        i_out[:, 0] = jnp.where(better, c * cs + j, i_out[:, 0])
+        b_out[:, 0] = jnp.where(better, beta_j, b_out[:, 0])
+        g_out[:, 0] = jnp.where(better, gamma_j, g_out[:, 0])
+
+    # Double-buffered pipeline: when cluster c's slab test passes, start
+    # its DMA into slot cnt%2, then (with the copy in flight) process the
+    # previously fetched cluster from the other slot.  Carry =
+    # (has_pending, pending_cluster, hit_count).
+    def on_hit(c, carry):
+        pending, cp_id, cnt = carry
+        slot = jax.lax.rem(cnt, jnp.int32(2))
+        get_dma(c, slot).start()
+
+        @pl.when(pending == 1)
+        def _():
+            prev = 1 - slot
+            get_dma(cp_id, prev).wait()
+            process(cp_id, prev)
+
+        return (jnp.int32(1), jnp.int32(c), cnt + jnp.int32(1))
+
+    def cluster_body(c, carry):
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, mn_ref[c, :], mx_ref[c, :])
-
-        @pl.when(jnp.any(overlap))
-        def _():
-            base = pl.multiple_of(c * cs, cs)
-            cp = pltpu.make_async_copy(
-                pack_hbm.at[:, pl.ds(base, cs)], pack_s, sem
-            )
-            cp.start()
-            cp.wait()
-
-            pack = pack_s[:]  # [16, CS] — slice rows of the VALUE
-            n_t = pack[0:3, :]
-            denom = dot3(d0, d1, d2, n_t)
-            inv = 1.0 / denom
-            t = (pack[15:16, :] - dot3(o0, o1, o2, n_t)) * inv
-            beta = (dot3(d0, d1, d2, pack[3:6, :]) - dot3(m0, m1, m2, pack[9:12, :])) * inv
-            gamma = (dot3(d0, d1, d2, pack[6:9, :]) - dot3(m0, m1, m2, pack[12:15, :])) * inv
-
-            valid = (
-                (t < RT_DEFAULT_MAX)
-                & (t > tmin[:, None])
-                & (beta >= 0.0)
-                & (gamma >= 0.0)
-                & (beta + gamma <= 1.0)
-                & overlap[:, None]
-            )
-            t_m = jnp.where(valid, t, _BIG)
-            tj = jnp.min(t_m, axis=1)
-            # One-hot select of the winning column (first minimum) —
-            # per-row gather is not lowerable on TPU.
-            cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-            j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
-            onehot = cols == j[:, None]
-            beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
-            gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
-            better = tj < t_out[:, 0]
-            t_out[:, 0] = jnp.where(better, tj, t_out[:, 0])
-            i_out[:, 0] = jnp.where(better, c * cs + j, i_out[:, 0])
-            b_out[:, 0] = jnp.where(better, beta_j, b_out[:, 0])
-            g_out[:, 0] = jnp.where(better, gamma_j, g_out[:, 0])
-
-        return 0
+        return jax.lax.cond(
+            jnp.any(overlap), lambda cr: on_hit(c, cr), lambda cr: cr, carry
+        )
 
     # Two-level culling: outer loop over superclusters (groups of
     # ``group_size`` consecutive Morton clusters) prunes whole groups with
@@ -147,18 +169,30 @@ def _mt_kernel(
     # what dominates when most clusters miss.  Groups are visited in the
     # caller-provided near-to-far order so the running-best prune
     # (tn <= best in the slab test) rejects far geometry without DMA.
-    def group_body(gi, _):
+    def group_body(gi, carry):
         g = gorder_ref[gi, 0]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
+        return jax.lax.cond(
+            jnp.any(overlap),
+            lambda cr: jax.lax.fori_loop(
+                g * group_size, (g + 1) * group_size, cluster_body, cr
+            ),
+            lambda cr: cr,
+            carry,
+        )
 
-        @pl.when(jnp.any(overlap))
-        def _():
-            jax.lax.fori_loop(g * group_size, (g + 1) * group_size, cluster_body, 0)
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    pending, cp_id, cnt = jax.lax.fori_loop(
+        0, num_clusters // group_size, group_body, init
+    )
 
-        return 0
-
-    jax.lax.fori_loop(0, num_clusters // group_size, group_body, 0)
+    # drain the last in-flight cluster
+    @pl.when(pending == 1)
+    def _():
+        last = jnp.int32(1) - jax.lax.rem(cnt, jnp.int32(2))
+        get_dma(cp_id, last).wait()
+        process(cp_id, last)
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -260,8 +294,8 @@ def closest_hit_clustered(
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec],
         scratch_shapes=[
-            pltpu.VMEM((16, cluster_size), f32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, cluster_size), f32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
