@@ -123,7 +123,8 @@ class TraceConfig:
     accel: str = "brute"
     cluster_size: int = 256
     ray_tile: int = 256
-    group_size: int = 8  # clusters per supercluster (2-level culling)
+    group_size: int = 16  # clusters per supercluster (2-level culling)
+    sub_tiles: int = 4  # ray sub-blocks per tile, each slab-gated in the kernel
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
 
     @classmethod

@@ -592,6 +592,7 @@ def trace_fan(
                 cluster_size=cfg.cluster_size,
                 ray_tile=cfg.ray_tile,
                 group_size=cfg.group_size,
+                sub_tiles=cfg.sub_tiles,
                 interpret=cfg.interpret,
             )
 

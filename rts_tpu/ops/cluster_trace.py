@@ -72,6 +72,7 @@ def _mt_kernel(
     num_clusters: int,  # padded count Cp
     cluster_size: int,
     group_size: int,
+    sub_tiles: int,
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -101,6 +102,9 @@ def _mt_kernel(
             pack_hbm.at[:, pl.ds(base, cs)], pack_s.at[slot], sem.at[slot]
         )
 
+    rt = o.shape[0]
+    rs = rt // sub_tiles
+
     def process(c, slot):
         """MT-test cluster ``c`` whose tile sits in scratch ``slot``.
 
@@ -108,36 +112,59 @@ def _mt_kernel(
         triangle always lies inside its own cluster's box, so the exact
         MT predicates subsume it — which is what lets processing be
         deferred past the slab stage for DMA/compute overlap.
-        """
-        pack = pack_s[slot]  # [16, CS] — slice rows of the VALUE
-        n_t = pack[0:3, :]
-        denom = dot3(d0, d1, d2, n_t)
-        inv = 1.0 / denom
-        t = (pack[15:16, :] - dot3(o0, o1, o2, n_t)) * inv
-        beta = (dot3(d0, d1, d2, pack[3:6, :]) - dot3(m0, m1, m2, pack[9:12, :])) * inv
-        gamma = (dot3(d0, d1, d2, pack[6:9, :]) - dot3(m0, m1, m2, pack[12:15, :])) * inv
 
-        valid = (
-            (t < RT_DEFAULT_MAX)
-            & (t > tmin[:, None])
-            & (beta >= 0.0)
-            & (gamma >= 0.0)
-            & (beta + gamma <= 1.0)
-        )
-        t_m = jnp.where(valid, t, _BIG)
-        tj = jnp.min(t_m, axis=1)
-        # One-hot select of the winning column (first minimum) —
-        # per-row gather is not lowerable on TPU.
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-        j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
-        onehot = cols == j[:, None]
-        beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
-        gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
-        better = tj < t_out[:, 0]
-        t_out[:, 0] = jnp.where(better, tj, t_out[:, 0])
-        i_out[:, 0] = jnp.where(better, c * cs + j, i_out[:, 0])
-        b_out[:, 0] = jnp.where(better, beta_j, b_out[:, 0])
-        g_out[:, 0] = jnp.where(better, gamma_j, g_out[:, 0])
+        Rays are processed in ``sub_tiles`` row blocks, each gated by its
+        own slab test against this cluster — only the ray sub-blocks that
+        actually overlap pay the (VPU-peak-bound) MT flops.
+        """
+        # static-index read per slot: a traced first-dim index would lower
+        # as an (unsupported) 3D gather on Mosaic
+        pack = jax.lax.cond(slot == 0, lambda: pack_s[0], lambda: pack_s[1])
+        n_t = pack[0:3, :]
+        c1_t = pack[3:6, :]
+        c0_t = pack[6:9, :]
+        e1_t = pack[9:12, :]
+        e0_t = pack[12:15, :]
+        np0_t = pack[15:16, :]
+
+        for k in range(sub_tiles):
+            rows = slice(k * rs, (k + 1) * rs)
+            sub_overlap = _slab_overlap(
+                o[rows], d[rows], tmin[rows], t_out[rows, 0], mn_ref[c, :], mx_ref[c, :]
+            )
+
+            @pl.when(jnp.any(sub_overlap))
+            def _(rows=rows, k=k):
+                def sdot(a0, a1, a2, f):
+                    return a0[rows] * f[0:1, :] + a1[rows] * f[1:2, :] + a2[rows] * f[2:3, :]
+
+                denom = sdot(d0, d1, d2, n_t)
+                inv = 1.0 / denom
+                t = (np0_t - sdot(o0, o1, o2, n_t)) * inv
+                beta = (sdot(d0, d1, d2, c1_t) - sdot(m0, m1, m2, e1_t)) * inv
+                gamma = (sdot(d0, d1, d2, c0_t) - sdot(m0, m1, m2, e0_t)) * inv
+
+                valid = (
+                    (t < RT_DEFAULT_MAX)
+                    & (t > tmin[rows][:, None])
+                    & (beta >= 0.0)
+                    & (gamma >= 0.0)
+                    & (beta + gamma <= 1.0)
+                )
+                t_m = jnp.where(valid, t, _BIG)
+                tj = jnp.min(t_m, axis=1)
+                # One-hot select of the winning column (first minimum) —
+                # per-row gather is not lowerable on TPU.
+                cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+                j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
+                onehot = cols == j[:, None]
+                beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
+                gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
+                better = tj < t_out[rows, 0]
+                t_out[rows, 0] = jnp.where(better, tj, t_out[rows, 0])
+                i_out[rows, 0] = jnp.where(better, c * cs + j, i_out[rows, 0])
+                b_out[rows, 0] = jnp.where(better, beta_j, b_out[rows, 0])
+                g_out[rows, 0] = jnp.where(better, gamma_j, g_out[rows, 0])
 
     # Double-buffered pipeline: when cluster c's slab test passes, start
     # its DMA into slot cnt%2, then (with the copy in flight) process the
@@ -212,7 +239,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "interpret"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "sub_tiles", "interpret"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -226,6 +253,7 @@ def closest_hit_clustered(
     cluster_size: int = 256,
     ray_tile: int = 256,
     group_size: int = 8,
+    sub_tiles: int = 4,
     interpret: bool = False,
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32)."""
@@ -263,7 +291,7 @@ def closest_hit_clustered(
     f32 = jnp.float32
     grid = (l_pad // rt,)
     kernel = partial(
-        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size, group_size=group_size
+        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size, group_size=group_size, sub_tiles=sub_tiles
     )
 
     out_shape = [

@@ -88,6 +88,29 @@ def test_kernel_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(got.gamma)[f], np.asarray(ref.gamma)[f], rtol=2e-3, atol=1e-5)
 
 
+def test_cpi_clustered_refraction():
+    """Dielectric multi-bounce through the ClusterScene path (interpret)."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+    from test_driver import make_world
+
+    w = make_world(num_pulses=2, rotating=True)
+    w.targets[0].refl_coeff = 0.6
+    w.targets[0].refr_index = 1.5
+    params = Parameters(num_rays=3, max_refl_depth=2, max_refr_depth=2)
+    b1, batch1, cfg1, spec1 = prepare_cpi(w, params, dtype=jnp.float32)
+    brute = trace_cpi(b1, batch1, cfg1, spec1)
+    b2, batch2, cfg2, spec2 = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=CS, ray_tile=RT, interpret=True
+    )
+    clus = trace_cpi(b2, batch2, cfg2, spec2)
+    np.testing.assert_array_equal(np.asarray(clus.received), np.asarray(brute.received))
+    np.testing.assert_array_equal(np.asarray(clus.agg.emit), np.asarray(brute.agg.emit))
+    f = np.asarray(brute.received) >= 0
+    assert f.sum() > 0
+    np.testing.assert_allclose(np.asarray(clus.power)[f], np.asarray(brute.power)[f], rtol=5e-4)
+
+
 def test_cpi_clustered_end_to_end():
     """Full pipeline with accel='cluster' (interpret) vs brute, f32."""
     from rts_tpu.engine.cpi import trace_cpi
