@@ -10,10 +10,39 @@ the reversed-sine axis-angle matrix.  Ray order matches
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from rts_tpu.core.rotation import rot_axis_reversed, rot_z
 from rts_tpu.core.vec import normalize3, sph_to_cart
+
+
+@functools.lru_cache(maxsize=32)
+def fan_tile_perm(num_rays: int) -> np.ndarray:
+    """Morton permutation of the N^3 fan indices.
+
+    The natural launch order (rayIndex = iz*N^2 + iy*N + ix,
+    ray_tracer.cu:151) makes a 256-ray tile a long thin angular strip;
+    Morton order makes it a compact patch, so each traversal tile's
+    frustum overlaps far fewer clusters.  Results are inverse-permuted
+    back to the reference launch order after tracing (bit-identical —
+    each ray's chain is independent of tile membership).
+    """
+    n = num_rays
+    iz, iy, ix = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v * np.uint64(0x00010001)) & np.uint64(0xFF0000FF)
+        v = (v * np.uint64(0x00000101)) & np.uint64(0x0F00F00F)
+        v = (v * np.uint64(0x00000011)) & np.uint64(0xC30C30C3)
+        v = (v * np.uint64(0x00000005)) & np.uint64(0x49249249)
+        return v
+
+    code = (spread(iz.ravel()) << np.uint64(2)) | (spread(iy.ravel()) << np.uint64(1)) | spread(ix.ravel())
+    return np.argsort(code, kind="stable")
 
 
 def generate_fan(num_rays: int, tx_dir, tx_span, dtype=jnp.float32):

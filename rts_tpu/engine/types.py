@@ -125,6 +125,11 @@ class TraceConfig:
     ray_tile: int = 256
     group_size: int = 16  # clusters per supercluster (2-level culling)
     sub_tiles: int = 4  # ray sub-blocks per tile, each slab-gated in the kernel
+    # Morton-order the fan so ray tiles are compact patches.  Measured
+    # SLOWER than raster order on the bench scenes (raster tiles hold iz
+    # fixed and are already coherent; 3D Morton scatters the weakly
+    # direction-dependent iz index) — kept as an option, default off.
+    fan_tiling: bool = False
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
 
     @classmethod

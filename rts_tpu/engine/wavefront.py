@@ -555,6 +555,21 @@ def trace_fan(
     dtype = scene[0].dtype  # tri_p0 (DeviceScene) or tri_pack (ClusterScene)
     tx_origin = jnp.asarray(tx_origin, dtype)
     n3 = fan_dirs.shape[0]
+
+    # Morton-tile the fan so each 256-ray traversal tile is a compact
+    # angular patch instead of a thin strip; results are inverse-permuted
+    # back to the reference launch order below (bit-identical).
+    fan_perm = None
+    if (
+        cfg.accel == "cluster"
+        and cfg.fan_tiling
+        and n3 == cfg.rays_per_fan
+        and cfg.num_rays > 4
+    ):
+        from rts_tpu.engine.fan import fan_tile_perm
+
+        fan_perm = fan_tile_perm(cfg.num_rays)
+        fan_dirs = fan_dirs[jnp.asarray(fan_perm)]
     ray_total = cfg.slot_multiplier * n3
     state = _init_state(cfg, tx_origin, fan_dirs, dtype)
     bufs = TraceBuffers(
@@ -638,7 +653,18 @@ def trace_fan(
         out = jnp.full((r,) + shape_tail, fill_value, x.dtype)
         return out.at[:lanes].set(x)
 
-    return TraceResult(
+    def unpermute(res: TraceResult) -> TraceResult:
+        if fan_perm is None:
+            return res
+        import numpy as np
+
+        inv = np.argsort(fan_perm)
+        rows = jnp.asarray(
+            np.concatenate([s * n3 + inv for s in range(cfg.slot_multiplier)])
+        )
+        return jax.tree.map(lambda a: a[rows], res)
+
+    return unpermute(TraceResult(
         ray_length=fill(state.ray_length, 0.0),
         power=fill(state.power, 0.0),
         doppler=fill(state.doppler, 0.0),
@@ -651,7 +677,7 @@ def trace_fan(
         prev_hit=fill(jnp.where(state.born[:, None], state.origin, 0.0), 0.0, (3,)),
         path=bufs.path,
         rcs=bufs.rcs,
-    )
+    ))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

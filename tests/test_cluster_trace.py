@@ -88,6 +88,38 @@ def test_kernel_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(got.gamma)[f], np.asarray(ref.gamma)[f], rtol=2e-3, atol=1e-5)
 
 
+def test_fan_tiling_permutation_roundtrip():
+    """num_rays > 4 engages Morton fan tiling; results must land back in
+    the reference launch order (vs brute force, incl. refraction slots)."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.engine.fan import fan_tile_perm
+    from rts_tpu.sim import prepare_cpi
+    from test_driver import make_world
+
+    perm = fan_tile_perm(5)
+    assert sorted(perm.tolist()) == list(range(125))
+
+    w = make_world(num_pulses=1)
+    w.targets[0].refl_coeff = 0.6
+    w.targets[0].refr_index = 1.5
+    params = Parameters(num_rays=5, max_refl_depth=2, max_refr_depth=2)
+    b1, batch1, cfg1, spec1 = prepare_cpi(w, params, dtype=jnp.float32)
+    brute = trace_cpi(b1, batch1, cfg1, spec1)
+    import dataclasses
+
+    b2, batch2, cfg2, spec2 = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=CS, ray_tile=RT, interpret=True
+    )
+    cfg2 = dataclasses.replace(cfg2, fan_tiling=True)
+    clus = trace_cpi(b2, batch2, cfg2, spec2)
+    np.testing.assert_array_equal(np.asarray(clus.received), np.asarray(brute.received))
+    f = np.asarray(brute.received) >= 0
+    assert f.sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(clus.agg.delay)[f], np.asarray(brute.agg.delay)[f], rtol=1e-6
+    )
+
+
 def test_cpi_clustered_refraction():
     """Dielectric multi-bounce through the ClusterScene path (interpret)."""
     from rts_tpu.engine.cpi import trace_cpi
