@@ -90,6 +90,9 @@ def run(
     strict_parity: bool = False,
     tri_chunk: int = 512,
     pad_tris_to: int = 1,
+    accel: str = "brute",
+    cluster_size: int = 256,
+    interpret: bool = False,
     verbose: bool = False,
 ) -> RunSummary:
     """Run the full simulation, mutating receiver response lists.
@@ -97,7 +100,10 @@ def run(
     The analogue of calling ``rs::RTS(world, MaxThreads, MaxBlocks)``;
     grid-shape knobs are replaced by the engine's ``tri_chunk`` tile size.
     """
-    cfg = TraceConfig.from_parameters(params, strict_parity=strict_parity, tri_chunk=tri_chunk)
+    cfg = TraceConfig.from_parameters(
+        params, strict_parity=strict_parity, tri_chunk=tri_chunk,
+        accel=accel, cluster_size=cluster_size, interpret=interpret,
+    )
     cspeed = params.c
     num_rx = len(world.receivers)
     summary = RunSummary()
@@ -153,6 +159,10 @@ def run(
                 velocities,
                 pad_to=pad_tris_to,
             )
+            if accel == "cluster":
+                from rts_tpu.accel import cluster_reorder
+
+                scene = cluster_reorder(scene, cluster_size=cluster_size)
 
             t0 = _time.perf_counter()
             res = trace_pulse(

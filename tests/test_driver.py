@@ -127,3 +127,24 @@ class TestMonostaticPlate:
         w.add(Receiver(path=Path.fixed(0, 0, 0)))
         s = run(w, Parameters(num_rays=2, max_refl_depth=1))
         assert s.total_responses == s.total_received >= 0
+
+
+def test_driver_clustered_accel_matches_brute():
+    """Sequential driver with accel='cluster' (interpret) == brute, f32."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from rts_tpu.sim import run as _run
+
+    w1 = make_world(num_pulses=2)
+    w2 = copy.deepcopy(w1)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    _run(w1, params, dtype=jnp.float32)
+    _run(w2, params, dtype=jnp.float32, accel="cluster", cluster_size=128, interpret=True)
+    p1 = [p for rx in w1.receivers for r in rx.responses for p in r.points]
+    p2 = [p for rx in w2.receivers for r in rx.responses for p in r.points]
+    assert len(p1) == len(p2) > 0
+    for a, b in zip(sorted(p1, key=lambda p: p.delay), sorted(p2, key=lambda p: p.delay)):
+        np.testing.assert_allclose(a.power, b.power, rtol=5e-5)
+        np.testing.assert_allclose(a.delay, b.delay, rtol=1e-6)
