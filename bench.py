@@ -89,7 +89,7 @@ def build(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=81920, help="approx. triangle count")
-    ap.add_argument("--rays", type=int, default=15, help="N of the N^3 launch fan (odd keeps the boresight ray)")
+    ap.add_argument("--rays", type=int, default=31, help="N of the N^3 launch fan (odd keeps the boresight ray)")
     ap.add_argument("--pulses", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)

@@ -47,22 +47,47 @@ def synthesize_pulse(
     *,
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
+    chirp_rate: float = 0.0,
     xp=jnp,
 ):
     """Complex baseband fast-time samples [Ns] for one pulse.
 
-    Rectangular envelope of ``pulse_length`` (the analytic CW-pulse model;
-    arbitrary waveforms convolve downstream).  Static shapes: every
-    response lane contributes, masked lanes contribute zero.
+    Rectangular envelope of ``pulse_length``; nonzero ``chirp_rate`` adds
+    the LFM quadratic phase exp(j*pi*k*rel^2) (pulse compression happens
+    in ``pulse_compress``).  Static shapes: every response lane
+    contributes, masked lanes contribute zero.
     """
     ts = xp.asarray(grid.window_start) + xp.arange(grid.num_samples) / grid.sample_rate
     rel = ts[None, :] - delay[:, None]  # [K, Ns] time since path arrival
     envelope = ((rel >= 0.0) & (rel < pulse_length)).astype(power.dtype)
     volt = xp.sqrt(xp.maximum(power, 0.0) * tx_power)
     phs = phase[:, None] + 2.0 * xp.pi * doppler[:, None] * rel
+    if chirp_rate:
+        phs = phs + xp.pi * chirp_rate * rel**2
     contrib = volt[:, None] * envelope * xp.exp(1j * phs)
     contrib = xp.where(valid[:, None], contrib, 0.0)
     return contrib.sum(axis=0)
+
+
+def waveform_replica(grid: RenderGrid, *, pulse_length: float, chirp_rate: float = 0.0, xp=jnp):
+    """Unit-amplitude transmit replica on the fast-time grid (delay 0)."""
+    rel = xp.arange(grid.num_samples) / grid.sample_rate
+    env = (rel < pulse_length).astype(xp.float32 if xp is jnp else float)
+    phs = xp.pi * chirp_rate * rel**2
+    return env * xp.exp(1j * phs)
+
+
+def pulse_compress(samples, replica, xp=jnp):
+    """Matched filter along fast time via FFT correlation.
+
+    ``samples``: [..., Ns]; output the same shape, peak at the path's
+    leading-edge bin (circular correlation — the receive window must be
+    long enough that wrap-around energy is out of the scene).
+    """
+    n = samples.shape[-1]
+    s = xp.fft.fft(samples, axis=-1)
+    h = xp.conj(xp.fft.fft(replica, n))
+    return xp.fft.ifft(s * h, axis=-1)
 
 
 def synthesize_cpi(
@@ -75,6 +100,7 @@ def synthesize_cpi(
     *,
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
+    chirp_rate: float = 0.0,
     xp=jnp,
 ):
     """Slow-time x fast-time matrix [P, Ns] for a CPI."""
@@ -83,12 +109,14 @@ def synthesize_cpi(
     def one(args):
         p, d, ph, f, v = args
         return synthesize_pulse(
-            p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length, xp=xp
+            p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length,
+            chirp_rate=chirp_rate, xp=xp,
         )
 
     if xp is jnp:
         return jax.vmap(lambda p, d, ph, f, v: synthesize_pulse(
-            p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length, xp=xp
+            p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length,
+            chirp_rate=chirp_rate, xp=xp,
         ))(power, delay, phase, doppler, valid)
     return np.stack([one(t) for t in zip(power, delay, phase, doppler, valid)])
 
@@ -117,6 +145,8 @@ def render_cpi_result(
     *,
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
+    chirp_rate: float = 0.0,
+    compress: bool = False,
 ):
     """Render one receiver's range-Doppler map from a traced CPI.
 
@@ -134,7 +164,11 @@ def render_cpi_result(
         grid,
         tx_power=tx_power,
         pulse_length=pulse_length,
+        chirp_rate=chirp_rate,
     )
+    if compress:
+        replica = waveform_replica(grid, pulse_length=pulse_length, chirp_rate=chirp_rate)
+        samples = pulse_compress(samples, replica)
     return range_doppler_map(samples), samples
 
 

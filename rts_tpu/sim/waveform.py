@@ -18,7 +18,12 @@ class RadarSignal:
     power: float = 1.0  # transmit power Pt [W] — applied at rendering
     length: float = 1e-6  # pulse length [s]
     rate: float = 0.0  # sample rate of the stored waveform (0 = analytic)
+    chirp_rate: float = 0.0  # LFM sweep rate [Hz/s]; 0 = plain CW pulse
     temperature: float = 0.0  # added to receiver noise temperature
+
+    @property
+    def bandwidth(self) -> float:
+        return abs(self.chirp_rate) * self.length
 
     def GetCarrier(self):  # noqa: N802
         return self.carrier

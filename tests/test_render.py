@@ -61,3 +61,40 @@ def test_empty_map_when_no_returns():
     grid = RenderGrid(sample_rate=50e6, num_samples=128, window_start=0.0)
     rd, samples = render_cpi_result(out, rx_index=0, grid=grid)
     assert float(np.abs(np.asarray(samples)).max()) == 0.0
+
+
+def test_chirp_pulse_compression():
+    """LFM chirp + matched filter: peak at the path bin, compressed."""
+    import jax.numpy as jnp
+
+    from rts_tpu.sim import RenderGrid
+    from rts_tpu.sim.render import pulse_compress, synthesize_cpi, waveform_replica
+
+    fs = 50e6
+    grid = RenderGrid(sample_rate=fs, num_samples=1024, window_start=0.0)
+    pulse_len = 4e-6  # 200 samples uncompressed
+    chirp = 5e12  # 20 MHz sweep -> compressed width ~ fs/B = 2.5 samples
+    delay = 200 / fs  # bin 200
+
+    power = jnp.array([[1.0]])
+    samples = synthesize_cpi(
+        power,
+        jnp.array([[delay]]),
+        jnp.array([[0.0]]),
+        jnp.array([[0.0]]),
+        jnp.array([[True]]),
+        grid,
+        pulse_length=pulse_len,
+        chirp_rate=chirp,
+    )
+    replica = waveform_replica(grid, pulse_length=pulse_len, chirp_rate=chirp)
+    comp = np.abs(np.asarray(pulse_compress(samples, replica)))[0]
+
+    peak = int(np.argmax(comp))
+    assert peak == 200, peak
+    # compression: half-power width a few bins, not the 200-sample pulse
+    half = comp > comp[peak] / np.sqrt(2)
+    assert half.sum() <= 6, half.sum()
+    # uncompressed envelope really was ~200 samples
+    raw = np.abs(np.asarray(samples))[0]
+    assert (raw > raw.max() / 2).sum() >= 190
