@@ -130,6 +130,11 @@ class TraceConfig:
     # fixed and are already coherent; 3D Morton scatters the weakly
     # direction-dependent iz index) — kept as an option, default off.
     fan_tiling: bool = False
+    # Compact active lanes to the front once refraction spawning is over,
+    # so late segments only traverse live tiles.  Wins when most of the
+    # fan misses at segment 1; loses (sort+permute overhead) when the fan
+    # mostly hits, as in the bench scenes — default off.
+    compact_lanes: bool = False
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
 
     @classmethod

@@ -642,7 +642,42 @@ def trace_fan(
         state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg, n3)
         return state, bufs
 
-    state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
+    # Lane positions only matter while refraction children can spawn
+    # (the l -> l + n3 shift): a primary's first intersection is segment 1
+    # and the trapped child's is segment 2, so after ``spawn_segments``
+    # the lane order is free.  Compact active lanes to the front then —
+    # in the clustered kernel, the (many) fully-dead trailing tiles skip
+    # every supercluster, so late segments cost ~nothing.  The
+    # permutation is undone before results are assembled.
+    lane_perm = None
+    if cfg.compact_lanes and cfg.accel == "cluster":
+        spawn_segments = min(cfg.num_segments, 2 if cfg.refraction_on else 1)
+        for _ in range(spawn_segments):
+            state, bufs = body(0, (state, bufs))
+        remaining = cfg.num_segments - spawn_segments
+    else:
+        state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
+        remaining = 0
+    if remaining > 0:
+        lanes_n = state.origin.shape[0]
+        lane_perm = jnp.argsort(~state.active, stable=True)  # actives first
+        state = jax.tree.map(lambda a: a[lane_perm], state)
+        bufs = TraceBuffers(
+            path=bufs.path.at[:lanes_n].set(bufs.path[:lanes_n][lane_perm]),
+            rcs=bufs.rcs.at[:lanes_n].set(bufs.rcs[:lanes_n][lane_perm]),
+        )
+
+    if remaining > 0:
+        state, bufs = jax.lax.fori_loop(0, remaining, body, (state, bufs))
+
+    if lane_perm is not None:
+        lanes_n = state.origin.shape[0]
+        inv = jnp.argsort(lane_perm)
+        state = jax.tree.map(lambda a: a[inv], state)
+        bufs = TraceBuffers(
+            path=bufs.path.at[:lanes_n].set(bufs.path[:lanes_n][inv]),
+            rcs=bufs.rcs.at[:lanes_n].set(bufs.rcs[:lanes_n][inv]),
+        )
 
     # Assemble full-height results; lanes beyond the traced block stay at
     # their zero-fill values (ray_tracer.cu:227-240).

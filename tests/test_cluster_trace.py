@@ -165,3 +165,27 @@ def test_cpi_clustered_end_to_end():
     np.testing.assert_allclose(
         np.asarray(clus.agg.delay)[f], np.asarray(brute.agg.delay)[f], rtol=1e-6
     )
+
+
+def test_compact_lanes_identical():
+    """Opt-in lane compaction must not change any result."""
+    import dataclasses
+
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+    from test_driver import make_world
+
+    w = make_world(num_pulses=1)
+    w.targets[0].refl_coeff = 0.6
+    w.targets[0].refr_index = 1.5
+    params = Parameters(num_rays=3, max_refl_depth=2, max_refr_depth=2)
+    base, batch, cfg, spec = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=CS, ray_tile=RT, interpret=True
+    )
+    plain = trace_cpi(base, batch, cfg, spec)
+    compact = trace_cpi(base, batch, dataclasses.replace(cfg, compact_lanes=True), spec)
+    for name in ("power", "doppler", "delay", "received"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)), np.asarray(getattr(compact, name)), err_msg=name
+        )
+    np.testing.assert_array_equal(np.asarray(plain.agg.emit), np.asarray(compact.agg.emit))
