@@ -45,21 +45,22 @@ def build(args):
     # bench exercises capture/aggregation with real received paths.
     w.add(Receiver(path=Path.fixed(0, 0, 0), sphere=(25.0, 1.2, 1.2)))
     if args.scene == "terrain":
-        # BASELINE config 4: large terrain, grazing view from altitude.
+        # BASELINE config 4: large terrain viewed from altitude (steep
+        # look angle so near-specular facets return toward the radar).
         n = max(2, round(math.sqrt(args.tris / 2)) + 1)
-        w.transmitters[0].path = Path.fixed(-6000.0, 0.0, 2500.0)
-        w.receivers[0].path = Path.fixed(-6000.0, 0.0, 2500.0)
+        w.transmitters[0].path = Path.fixed(0.0, 0.0, 4000.0)
+        w.receivers[0].path = Path.fixed(0.0, 0.0, 4000.0)
         w.add(
             Target(
                 shape="terrain",
-                terrain=(n, 12000.0, 400.0, 3),
-                path=Path.fixed(3000.0, 0.0, -500.0),
+                terrain=(n, 12000.0, 300.0, 3),
+                path=Path.fixed(0.0, 0.0, 0.0),
                 refl_coeff=0.9,
             )
         )
-        el = -math.atan2(3000.0, 9000.0)
         from rts_tpu.sim import RotationPath
 
+        el = -math.pi / 2
         w.transmitters[0].rotation = RotationPath(elevation=el)
         w.receivers[0].rotation = RotationPath(elevation=el)
     else:
@@ -88,12 +89,12 @@ def build(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tris", type=int, default=81920, help="approx. triangle count")
+    ap.add_argument("--tris", type=int, default=1000000, help="approx. triangle count")
     ap.add_argument("--rays", type=int, default=31, help="N of the N^3 launch fan (odd keeps the boresight ray)")
     ap.add_argument("--pulses", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
-    ap.add_argument("--scene", choices=("sphere", "terrain"), default="sphere")
+    ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=1024)
     ap.add_argument("--ray-tile", type=int, default=256)

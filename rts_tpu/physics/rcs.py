@@ -33,6 +33,50 @@ class IsoRCS:
 
 
 @dataclasses.dataclass(frozen=True)
+class SphereRCS:
+    """Optical-region conducting sphere: sigma = pi r^2, aspect-free."""
+
+    radius: float = 1.0
+
+    def rcs(self, az_sum, el_sum, wavelength):
+        import math
+
+        return jnp.full(
+            jnp.shape(az_sum), math.pi * self.radius**2, dtype=jnp.result_type(az_sum)
+        )
+
+    def GetRCS(self, az_sum, el_sum, wavelength):  # noqa: N802
+        return self.rcs(az_sum, el_sum, wavelength)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlateRCS:
+    """Flat rectangular plate (physical optics): peak 4*pi*A^2/lambda^2 at
+    specular, sinc^2 falloff with the bistatic half-angle off broadside."""
+
+    width: float = 1.0
+    height: float = 1.0
+
+    def rcs(self, az_sum, el_sum, wavelength):
+        a = self.width * self.height
+        peak = 4.0 * jnp.pi * a**2 / wavelength**2
+        # bistatic half-angles (the recorded sums are arrival+departure)
+        haz = az_sum / 2.0
+        hel = el_sum / 2.0
+        xa = 2.0 * jnp.pi * self.width / wavelength * jnp.sin(haz)
+        xe = 2.0 * jnp.pi * self.height / wavelength * jnp.sin(hel)
+
+        def sinc(x):
+            safe = jnp.where(jnp.abs(x) < 1e-9, 1.0, x)
+            return jnp.where(jnp.abs(x) < 1e-9, 1.0, jnp.sin(safe) / safe)
+
+        return peak * sinc(xa) ** 2 * sinc(xe) ** 2
+
+    def GetRCS(self, az_sum, el_sum, wavelength):  # noqa: N802
+        return self.rcs(az_sum, el_sum, wavelength)
+
+
+@dataclasses.dataclass(frozen=True)
 class TableRCS:
     """Bilinear interpolation over a (bistatic half-angle) az/el table.
 

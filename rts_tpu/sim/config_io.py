@@ -36,7 +36,7 @@ from rts_tpu.physics.antenna import (
     SquareHornAntenna,
     TableAntenna,
 )
-from rts_tpu.physics.rcs import IsoRCS, TableRCS
+from rts_tpu.physics.rcs import IsoRCS, PlateRCS, SphereRCS, TableRCS
 from rts_tpu.sim.paths import AttitudePath, Path, RotationPath
 from rts_tpu.sim.waveform import RadarSignal
 from rts_tpu.sim.world import Receiver, Target, Transmitter, World
@@ -70,6 +70,10 @@ def _rcs(spec) -> object:
         return IsoRCS(sigma=float(spec.get("sigma", 1.0)))
     if kind == "table":
         return TableRCS.from_arrays(spec["az_grid"], spec["el_grid"], spec["table"])
+    if kind == "sphere":
+        return SphereRCS(radius=float(spec.get("radius", 1.0)))
+    if kind == "plate":
+        return PlateRCS(width=float(spec.get("width", 1.0)), height=float(spec.get("height", 1.0)))
     raise ValueError(f"unknown rcs type {kind!r}")
 
 

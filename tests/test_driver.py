@@ -148,3 +148,44 @@ def test_driver_clustered_accel_matches_brute():
     for a, b in zip(sorted(p1, key=lambda p: p.delay), sorted(p2, key=lambda p: p.delay)):
         np.testing.assert_allclose(a.power, b.power, rtol=5e-5)
         np.testing.assert_allclose(a.delay, b.delay, rtol=1e-6)
+
+
+def test_target_file_shape_end_to_end(tmp_path):
+    """shape='file' target through the full sim pipeline."""
+    from rts_tpu.geometry import rect_mesh, write_mesh_files
+
+    mesh = rect_mesh(2.0, 200.0, 200.0)
+    vf, nf = str(tmp_path / "v.txt"), str(tmp_path / "n.txt")
+    write_mesh_files(mesh, vf, nf)
+
+    w = make_world()
+    w.targets[0] = Target(
+        name="fileplate", shape="file", files=(vf, nf),
+        path=Path.fixed(1000, 0, 0), refl_coeff=0.9,
+    )
+    s = run(w, Parameters(num_rays=1, max_refl_depth=2))
+    assert s.total_received == 1
+    p = w.receivers[0].responses[0].points[0]
+    np.testing.assert_allclose(p.delay, 2 * 999.0 / C, rtol=1e-12)
+
+
+def test_analytic_rcs_models():
+    """Sphere/plate RCS models scale received power as expected."""
+    from rts_tpu.physics.rcs import PlateRCS, SphereRCS
+    import copy
+
+    w_iso = make_world()
+    w_sph = copy.deepcopy(w_iso)
+    w_sph.targets[0].rcs_model = SphereRCS(radius=2.0)
+    params = Parameters(num_rays=1, max_refl_depth=2)
+    run(w_iso, params)
+    run(w_sph, params)
+    p_iso = w_iso.receivers[0].responses[0].points[0].power
+    p_sph = w_sph.receivers[0].responses[0].points[0].power
+    np.testing.assert_allclose(p_sph / p_iso, np.pi * 4.0, rtol=1e-9)
+
+    # plate at broadside (half-angle sums ~ pi: arrival/departure reversed)
+    pl = PlateRCS(width=2.0, height=3.0)
+    wl = C / CARRIER
+    peak = float(np.asarray(pl.rcs(0.0, 0.0, wl)))
+    np.testing.assert_allclose(peak, 4 * np.pi * 36.0 / wl**2)
