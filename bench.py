@@ -58,6 +58,19 @@ def build(args):
                 refl_coeff=0.9,
             )
         )
+        # calibration plate above the terrain: guaranteed specular return
+        # so capture + aggregation run with real paths
+        from rts_tpu.sim import AttitudePath
+
+        w.add(
+            Target(
+                shape="rect",
+                rect=(2.0, 60.0, 60.0),
+                attitude=AttitudePath(pitch=math.pi / 2),
+                path=Path.fixed(0.0, 0.0, 400.0),
+                refl_coeff=0.9,
+            )
+        )
         from rts_tpu.sim import RotationPath
 
         el = -math.pi / 2
