@@ -508,6 +508,28 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
 # driver
 
 
+def _lane_sort_key(state: LaneState) -> jnp.ndarray:
+    """uint32 sort key: bit 31 = dead, bits 0..29 = Morton code of the
+    lane's current origin (quantised to the live-lane bounding box)."""
+    o = state.origin
+    live = state.active
+    big = jnp.asarray(3.0e38, o.dtype)
+    lo = jnp.min(jnp.where(live[:, None], o, big), axis=0)
+    hi = jnp.max(jnp.where(live[:, None], o, -big), axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = jnp.clip((o - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0xFF0000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0F00F00F)
+        v = (v | (v << 4)) & jnp.uint32(0xC30C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x49249249)
+        return v
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return jnp.where(live, code, jnp.uint32(1) << 31 | code)
+
+
 def _init_state(cfg: TraceConfig, tx_origin, dirs, dtype) -> LaneState:
     n3 = dirs.shape[0]
     lanes = 3 * n3 if cfg.refraction_on else n3  # only chains that can exist
@@ -660,7 +682,11 @@ def trace_fan(
         remaining = 0
     if remaining > 0:
         lanes_n = state.origin.shape[0]
-        lane_perm = jnp.argsort(~state.active, stable=True)  # actives first
+        # Sort key: dead lanes last; live lanes Morton-ordered by their
+        # bounce origin so the re-formed 256-ray tiles are spatially
+        # compact for the remaining segments (secondary rays scatter).
+        key = _lane_sort_key(state)
+        lane_perm = jnp.argsort(key, stable=True)
         state = jax.tree.map(lambda a: a[lane_perm], state)
         bufs = TraceBuffers(
             path=bufs.path.at[:lanes_n].set(bufs.path[:lanes_n][lane_perm]),

@@ -148,6 +148,10 @@ def run_cpi(
     dtype=jnp.float32,
     strict_parity: bool = False,
     tri_chunk: int = 512,
+    accel: str = "brute",
+    cluster_size: int = 1024,
+    ray_tile: int = 256,
+    interpret: bool = False,
     attach_responses: bool = True,
 ) -> CpiResult:
     """Trace one transmitter's whole CPI in a single jit call, then
@@ -159,6 +163,10 @@ def run_cpi(
         dtype=dtype,
         strict_parity=strict_parity,
         tri_chunk=tri_chunk,
+        accel=accel,
+        cluster_size=cluster_size,
+        ray_tile=ray_tile,
+        interpret=interpret,
     )
     out = trace_cpi(base, batch, cfg, spec)
 
