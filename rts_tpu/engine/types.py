@@ -116,7 +116,6 @@ class TraceConfig:
     interpolate_smooth: bool = True
     strict_parity: bool = False
     tri_chunk: int = 512
-    ray_chunk: int = 0  # 0 = no ray chunking
     # acceleration structure: "brute" = dense matmul Möller–Trumbore over
     # all triangles; "cluster" = Morton-clustered Pallas traversal with
     # AABB culling (requires a cluster_reorder'ed scene, float32).

@@ -164,8 +164,6 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         )
     )
 
-    lane_rows = jnp.arange(l, dtype=jnp.int32)
-
     # --- path record (normal_shader.cu:139-146)
     col = state.refl_depth + state.refr_depth
     rec = gate & (state.refr_depth != 1) & (col < cfg.depth_total)
