@@ -231,3 +231,52 @@ class TestDepthEdge:
         o, e = run_both(scene, params, [0, 0, 0], [0.0, 0.0], [0.05, 0.05, 0.0], rx)
         assert (o.received >= 0).sum() == 0
         assert_match(o, e)
+
+
+class TestPoleWrapWindow:
+    """Receiver boresight near vertical: the (theta, phi) acceptance
+    window crosses the phi = +/- pi/2 pole, engaging the mirrored second
+    region (ray_tracer.cu:332-388).  Engine must match the oracle exactly
+    through that branch."""
+
+    def test_vertical_boresight_capture(self):
+        el = 1.45  # boresight nearly straight up
+        # plate tilted to retroreflect the boresight (normal along -d)
+        mesh = rect_mesh(2.0, 300.0, 300.0, pitch=np.pi - el).translated(
+            [1000.0 * np.cos(el), 0.0, 1000.0 * np.sin(el)]
+        )
+        scene = compile_scene([mesh], [0.9], [1.0])
+        params = Parameters(num_rays=3, max_refl_depth=2)
+        rx = rx_sphere_geometry(
+            rx_pos=np.zeros((1, 3)),
+            rx_azimuth=np.array([0.0]),
+            rx_elevation=np.array([el]),
+            sphere_radius=np.array([5.0]),
+            theta_span=np.array([1.2]),
+            phi_span=np.array([1.2]),
+        )
+        # window must actually wrap the pole for the test to bite
+        assert rx.max_phi[0] > np.pi / 2 or rx.min_phi[0] < -np.pi / 2
+        o, e = run_both(scene, params, [0, 0, 0], [0.0, el], [0.2, 0.2, 0.0], rx)
+        assert (o.received >= 0).sum() > 0, "pole-wrap case captured nothing"
+        assert_match(o, e)
+
+    def test_downward_boresight_capture(self):
+        el = -1.45
+        mesh = rect_mesh(2.0, 300.0, 300.0, pitch=np.pi - el).translated(
+            [1000.0 * np.cos(el), 0.0, 1000.0 * np.sin(el)]
+        )
+        scene = compile_scene([mesh], [0.9], [1.0])
+        params = Parameters(num_rays=3, max_refl_depth=2)
+        rx = rx_sphere_geometry(
+            rx_pos=np.zeros((1, 3)),
+            rx_azimuth=np.array([0.0]),
+            rx_elevation=np.array([el]),
+            sphere_radius=np.array([5.0]),
+            theta_span=np.array([1.2]),
+            phi_span=np.array([1.2]),
+        )
+        assert rx.max_phi[0] > np.pi / 2 or rx.min_phi[0] < -np.pi / 2
+        o, e = run_both(scene, params, [0, 0, 0], [0.0, el], [0.2, 0.2, 0.0], rx)
+        assert (o.received >= 0).sum() > 0
+        assert_match(o, e)
