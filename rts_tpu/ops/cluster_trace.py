@@ -2,22 +2,28 @@
 
 The TPU-native replacement for OptiX's hardware BVH traversal
 (ray_tracer.cu:243 rtTrace).  Triangles arrive Morton-clustered
-(rts_tpu.accel) in a transposed [3, T] field layout (triangles on the
-lane axis); rays are processed in tiles of ``ray_tile``.
+(rts_tpu.accel) in a packed [16, T] field layout (triangles on the lane
+axis; rows = n, c1, c0, e1, e0, np0); rays are processed in tiles of
+``ray_tile``.
 
-Per grid step (one ray tile), the kernel loops over every cluster:
+Per grid step (one ray tile), the kernel walks superclusters of
+``group_size`` consecutive clusters, near-to-far from the transmitter:
 
-  1. slab-test the tile's rays against the cluster AABB (VPU, ~10 ops/ray)
-     with running-best pruning (entry > best_t means the cluster cannot
-     improve the hit);
-  2. only when any ray overlaps: DMA the cluster's triangle fields
-     HBM -> VMEM and run the matmul-shaped Möller–Trumbore test
-     ([RT,3] @ [3,CS] contractions — see engine/intersect.py for the
-     identity), then fold the per-cluster argmin into the running best.
+  1. slab-test the tile's rays against the group AABB with running-best
+     pruning (entry > best_t means the group cannot improve any hit);
+  2. on group overlap, slab-test its member clusters; an overlapping
+     cluster's packed tile is DMA'd HBM -> VMEM double-buffered (the
+     previous cluster's Möller–Trumbore test runs while the copy is in
+     flight);
+  3. the MT test itself runs per 64-ray sub-block, each gated by its own
+     slab test, as broadcast-sum K=3 contractions (VPU work — see
+     engine/intersect.py for the triple-product identity), folding the
+     per-cluster one-hot argmin into the running best.
 
 Work AND data movement scale with the number of overlapping
-(ray-tile, cluster) pairs instead of rays x triangles — the wavefront
-analogue of BVH culling, with no pointer chasing and fully static shapes.
+(ray-sub-block x cluster) pairs instead of rays x triangles — the
+wavefront analogue of BVH culling, with no pointer chasing and fully
+static shapes.
 """
 
 from __future__ import annotations
