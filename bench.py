@@ -110,7 +110,7 @@ def main():
     ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=1024)
-    ap.add_argument("--ray-tile", type=int, default=256)
+    ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     args = ap.parse_args()
     if args.tiny:

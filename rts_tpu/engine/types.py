@@ -121,7 +121,7 @@ class TraceConfig:
     # AABB culling (requires a cluster_reorder'ed scene, float32).
     accel: str = "brute"
     cluster_size: int = 256
-    ray_tile: int = 256
+    ray_tile: int = 512
     group_size: int = 16  # clusters per supercluster (2-level culling)
     sub_tiles: int = 4  # ray sub-blocks per tile, each slab-gated in the kernel
     # Morton-order the fan so ray tiles are compact patches.  Measured
