@@ -121,6 +121,30 @@ def synthesize_cpi(
     return np.stack([one(t) for t in zip(power, delay, phase, doppler, valid)])
 
 
+BOLTZMANN = 1.380649e-23
+
+
+def add_thermal_noise(samples, noise_temperature, bandwidth, key, xp=jnp):
+    """Complex AWGN for a receiver noise temperature (the quantity each
+    Response carries from Receiver.GetNoiseTemperature, ray_tracer.cpp:1318).
+
+    Noise power = k_B * T * B per complex sample; ``key`` is a
+    jax.random key (ignored for the NumPy path, which uses a Generator).
+    """
+    sigma = float(np.sqrt(BOLTZMANN * noise_temperature * bandwidth / 2.0))
+    if xp is jnp:
+        import jax
+
+        k1, k2 = jax.random.split(key)
+        noise = sigma * (
+            jax.random.normal(k1, samples.shape) + 1j * jax.random.normal(k2, samples.shape)
+        )
+    else:
+        rng = np.random.default_rng(key if isinstance(key, int) else 0)
+        noise = sigma * (rng.standard_normal(samples.shape) + 1j * rng.standard_normal(samples.shape))
+    return samples + noise
+
+
 def range_doppler_map(cpi_samples, *, window: str = "hann", xp=jnp):
     """[P, Ns] slow/fast matrix -> [P, Ns] range-Doppler magnitude.
 

@@ -98,3 +98,35 @@ def test_chirp_pulse_compression():
     # uncompressed envelope really was ~200 samples
     raw = np.abs(np.asarray(samples))[0]
     assert (raw > raw.max() / 2).sum() >= 190
+
+
+def test_thermal_noise_power():
+    """AWGN power matches k_B * T * B."""
+    import jax
+
+    from rts_tpu.sim.render import BOLTZMANN, add_thermal_noise
+
+    t, b = 290.0, 50e6
+    samples = jnp.zeros((64, 4096), jnp.complex64)
+    noisy = add_thermal_noise(samples, t, b, jax.random.PRNGKey(0))
+    measured = float(jnp.mean(jnp.abs(noisy) ** 2))
+    expected = BOLTZMANN * t * b
+    np.testing.assert_allclose(measured, expected, rtol=0.02)
+
+
+def test_cli_info_and_run(tmp_path, capsys):
+    import json
+
+    from rts_tpu.__main__ import main
+    from test_config_io import DOC
+
+    scene = tmp_path / "scene.json"
+    scene.write_text(json.dumps(DOC))
+    assert main(["info", str(scene)]) == 0
+    assert "transmitters (1)" in capsys.readouterr().out
+    out_npz = str(tmp_path / "resp.npz")
+    assert main(["run", str(scene), "--out", out_npz]) == 0
+    assert "responses: 1" in capsys.readouterr().out
+    import os
+
+    assert os.path.exists(out_npz)
