@@ -46,3 +46,28 @@ def test_cpi_matches_driver_refraction():
     run(w1, params, dtype=jnp.float64)
     run_cpi(w2, params, dtype=jnp.float64)
     _assert_same_responses(w1, w2)
+
+
+def test_256_pulse_cpi_range_doppler():
+    """Full 256-pulse CPI (BASELINE config 5 scale): traced in one jit,
+    rendered to a range-Doppler map with the target in the right bins."""
+    from rts_tpu.sim import RenderGrid, render_cpi_result
+
+    speed = 3.0
+    w = make_world(num_pulses=256, target_speed=speed)
+    out = run_cpi(w, Parameters(num_rays=1, max_refl_depth=2),
+                  dtype=jnp.float64, attach_responses=False)
+    assert out.received.shape[0] == 256
+    assert int((np.asarray(out.received) >= 0).sum()) == 256
+
+    c = 299792458.0
+    fs = 50e6
+    grid = RenderGrid(sample_rate=fs, num_samples=512, window_start=6.0e-6)
+    rd, _ = render_cpi_result(out, 0, grid, pulse_length=1.0 / fs)
+    rd = np.asarray(rd)
+    row, col = np.unravel_index(np.argmax(rd), rd.shape)
+    exp_col = int(np.ceil((2 * 999.0 / c - grid.window_start) * fs))
+    fd = 10e9 * ((1 - speed / c) / (1 + speed / c) - 1)
+    exp_row = 128 + int(round(fd / (1000.0 / 256)))
+    assert abs(col - exp_col) <= 1
+    assert abs(row - exp_row) <= 1
