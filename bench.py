@@ -112,6 +112,7 @@ def main():
     ap.add_argument("--cluster-size", type=int, default=1024)
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
+    ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")
     args = ap.parse_args()
     if args.tiny:
         args.tris, args.rays, args.pulses, args.repeat, args.tri_chunk = 320, 3, 2, 1, 128
@@ -141,6 +142,38 @@ def main():
 
     value = rays_per_run / best
     received = int((out.received >= 0).sum())
+
+    if args.stats and args.accel == "cluster":
+        import numpy as np
+
+        from rts_tpu.engine.animate import animate_packed
+        from rts_tpu.engine.fan import generate_fan
+        from rts_tpu.ops import closest_hit_clustered
+
+        sc = animate_packed(
+            base, batch.rot[0], batch.pos[0], batch.vel[0], cfg.cluster_size
+        )
+        fan = generate_fan(
+            cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec.kwargs()["tx_span"]
+        )
+        import jax.numpy as jnp
+
+        tmin = jnp.full((fan.shape[0],), 0.005, jnp.float32)
+        origin = jnp.broadcast_to(batch.tx_origin[0], fan.shape)
+        _, stats = closest_hit_clustered(
+            origin, fan, tmin, sc.tri_pack, sc.aabb_mn, sc.aabb_mx, batch.tx_origin[0],
+            cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
+            group_size=cfg.group_size, sub_tiles=cfg.sub_tiles, with_stats=True,
+        )
+        stats = np.asarray(stats)
+        n_groups = -(-(n_tris // cfg.cluster_size) // cfg.group_size)
+        print(
+            f"# traversal stats (segment 1): {stats.shape[0]} tiles, "
+            f"groups visited/tile mean {stats[:, 0].mean():.1f} of {n_groups}, "
+            f"clusters processed/tile mean {stats[:, 1].mean():.1f} "
+            f"(max {stats[:, 1].max()})",
+            file=sys.stderr,
+        )
     print(
         f"# {n_tris} tris, {cfg.rays_per_fan} rays/pulse x {args.pulses} pulses, "
         f"{cfg.num_segments} segments, best {best:.4f}s, received {received}, "

@@ -507,24 +507,32 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
 
 
 def _lane_sort_key(state: LaneState) -> jnp.ndarray:
-    """uint32 sort key: bit 31 = dead, bits 0..29 = Morton code of the
-    lane's current origin (quantised to the live-lane bounding box)."""
+    """uint32 sort key: bit 31 = dead; below that, interleaved Morton of
+    the bounce DIRECTION (5 bits/axis, major) and ORIGIN (5 bits/axis,
+    minor).  Secondary rays share origins (the hit surface) but scatter
+    in direction, so direction must dominate the tile grouping for the
+    re-formed 256-ray tiles to have compact frusta."""
     o = state.origin
     live = state.active
     big = jnp.asarray(3.0e38, o.dtype)
     lo = jnp.min(jnp.where(live[:, None], o, big), axis=0)
     hi = jnp.max(jnp.where(live[:, None], o, -big), axis=0)
     span = jnp.where(hi > lo, hi - lo, 1.0)
-    q = jnp.clip((o - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    qo = jnp.clip((o - lo) / span * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    d = normalize3(state.direction)
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    qd = jnp.clip((d + 1.0) * 15.5, 0.0, 31.0).astype(jnp.uint32)
 
-    def spread(v):
-        v = (v | (v << 16)) & jnp.uint32(0xFF0000FF)
-        v = (v | (v << 8)) & jnp.uint32(0x0F00F00F)
-        v = (v | (v << 4)) & jnp.uint32(0xC30C30C3)
-        v = (v | (v << 2)) & jnp.uint32(0x49249249)
+    def spread5(v):  # interleave 5 bits with stride 3
+        v = (v | (v << 8)) & jnp.uint32(0x0100F)
+        v = (v | (v << 4)) & jnp.uint32(0x10C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x1249249)
         return v
 
-    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    def morton5(q):
+        return (spread5(q[:, 0]) << 2) | (spread5(q[:, 1]) << 1) | spread5(q[:, 2])
+
+    code = (morton5(qd) << 15) | morton5(qo)
     return jnp.where(live, code, jnp.uint32(1) << 31 | code)
 
 

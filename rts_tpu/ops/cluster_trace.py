@@ -72,7 +72,9 @@ def _mt_kernel(
     i_out,  # [RT, 1] VMEM int32
     b_out,  # [RT, 1] VMEM
     g_out,  # [RT, 1] VMEM
+    stats_out,  # [8, 128] VMEM int32 block; [0, 0/1] = groups visited / clusters processed
     pack_s,  # [2, 16, CS] VMEM scratch (double-buffered)
+    counters,  # SMEM (2,) int32 scratch
     sem,  # DMA semaphores (2,)
     *,
     num_clusters: int,  # padded count Cp
@@ -99,6 +101,8 @@ def _mt_kernel(
     i_out[:] = jnp.zeros_like(i_out)
     b_out[:] = jnp.zeros_like(b_out)
     g_out[:] = jnp.zeros_like(g_out)
+    counters[0] = jnp.int32(0)
+    counters[1] = jnp.int32(0)
 
     cs = cluster_size
 
@@ -178,6 +182,7 @@ def _mt_kernel(
     # (has_pending, pending_cluster, hit_count).
     def on_hit(c, carry):
         pending, cp_id, cnt = carry
+        counters[1] = counters[1] + 1
         slot = jax.lax.rem(cnt, jnp.int32(2))
         get_dma(c, slot).start()
 
@@ -206,14 +211,12 @@ def _mt_kernel(
         g = gorder_ref[gi, 0]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
-        return jax.lax.cond(
-            jnp.any(overlap),
-            lambda cr: jax.lax.fori_loop(
-                g * group_size, (g + 1) * group_size, cluster_body, cr
-            ),
-            lambda cr: cr,
-            carry,
-        )
+
+        def visit(cr):
+            counters[0] = counters[0] + 1
+            return jax.lax.fori_loop(g * group_size, (g + 1) * group_size, cluster_body, cr)
+
+        return jax.lax.cond(jnp.any(overlap), visit, lambda cr: cr, carry)
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     pending, cp_id, cnt = jax.lax.fori_loop(
@@ -226,6 +229,14 @@ def _mt_kernel(
         last = jnp.int32(1) - jax.lax.rem(cnt, jnp.int32(2))
         get_dma(cp_id, last).wait()
         process(cp_id, last)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    stats_out[:] = jnp.where(
+        (row == 0) & (lane == 0),
+        counters[0],
+        jnp.where((row == 0) & (lane == 1), counters[1], 0),
+    )
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -245,7 +256,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "sub_tiles", "interpret"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "sub_tiles", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -261,8 +272,14 @@ def closest_hit_clustered(
     group_size: int = 8,
     sub_tiles: int = 4,
     interpret: bool = False,
+    with_stats: bool = False,
 ) -> HitResult:
-    """Closest valid triangle per ray via clustered traversal (float32)."""
+    """Closest valid triangle per ray via clustered traversal (float32).
+
+    With ``with_stats`` also returns an int32 [tiles, 2] array of (groups
+    visited, clusters processed) per ray tile — the traversal workload
+    counters used for culling-quality analysis.
+    """
     l = origin.shape[0]
     t_total = tri_pack.shape[1]
     c = t_total // cluster_size
@@ -300,18 +317,21 @@ def closest_hit_clustered(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size, group_size=group_size, sub_tiles=sub_tiles
     )
 
+    n_tiles = l_pad // rt
     out_shape = [
         jax.ShapeDtypeStruct((l_pad, 1), f32),
         jax.ShapeDtypeStruct((l_pad, 1), jnp.int32),
         jax.ShapeDtypeStruct((l_pad, 1), f32),
         jax.ShapeDtypeStruct((l_pad, 1), f32),
+        jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
     ]
     ray_spec = pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tmin_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    best_t, best_i, best_b, best_g = pl.pallas_call(
+    best_t, best_i, best_b, best_g, stats = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shape,
@@ -326,9 +346,10 @@ def closest_hit_clustered(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
         scratch_shapes=[
             pltpu.VMEM((2, 16, cluster_size), f32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -346,10 +367,13 @@ def closest_hit_clustered(
 
     best_t = best_t[:l, 0]
     found = best_t < RT_DEFAULT_MAX
-    return HitResult(
+    hit = HitResult(
         t=jnp.where(found, best_t, jnp.inf).astype(origin.dtype),
         tri=best_i[:l, 0],
         beta=best_b[:l, 0].astype(origin.dtype),
         gamma=best_g[:l, 0].astype(origin.dtype),
         found=found,
     )
+    if with_stats:
+        return hit, stats[::8, :2]
+    return hit
