@@ -128,8 +128,16 @@ def animate_packed(
     tid = jnp.clip(base.tri_target, 0, nt - 1)
     pad = base.tri_target < 0
 
-    r = rot.reshape(nt, 9).T[:, tid]  # [9, T] per-tri rotation components
-    s = jnp.where(pad[None, :], 0.0, pos.T[:, tid])  # [3, T]
+    # Per-tri rotation/translation via one-hot matmul: XLA lowers a
+    # 1M-index gather from a tiny [NT, 9] operand pathologically (~15 ms
+    # at 1M tris); onehot[T, NT] @ rot[NT, 9] is a dense K=NT contraction
+    # that runs at memory speed.
+    dtype = base.tri_verts_t.dtype
+    onehot = (tid[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(dtype)
+    rot9 = rot.reshape(nt, 9).astype(dtype)
+    r = [onehot @ rot9[:, i] for i in range(9)]  # 9 x [T] rotation components
+    pos_t = pos.astype(dtype)
+    s = [jnp.where(pad, 0.0, onehot @ pos_t[:, i]) for i in range(3)]
     v = base.tri_verts_t  # [9, T], rows corner*3 + axis
 
     def corner(c):
