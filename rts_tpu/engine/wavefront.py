@@ -153,7 +153,22 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
 
     tri = jnp.clip(hit.tri, 0, scene.tri_target.shape[0] - 1)
     targ = scene.tri_target[tri]
-    targ_safe = jnp.clip(targ, 0, scene.target_refl.shape[0] - 1)
+    nt = scene.target_refl.shape[0]
+    targ_safe = jnp.clip(targ, 0, nt - 1)
+
+    # Per-lane target attributes: XLA lowers many-index gathers from tiny
+    # [NT] operands pathologically; a one-hot contraction runs at memory
+    # speed.  Gate on NT so huge target counts keep the gather.
+    if nt <= 16:
+        _oh = (targ_safe[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(dtype)
+
+        def _tgather(a):  # [NT] or [NT, k] -> per-lane values
+            return _oh @ a.astype(dtype)
+
+    else:
+
+        def _tgather(a):
+            return a.astype(dtype)[targ_safe]
 
     gate = (
         hit_mask
@@ -204,7 +219,15 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
                 + cn[:, 2] * hit.gamma[:, None]
                 + cn[:, 0] * (1.0 - hit.beta - hit.gamma)[:, None]
             )
-            nrm = jnp.einsum("lij,lj->li", scene.rot[targ_safe], nrm_b)
+            r9 = _tgather(scene.rot.reshape(-1, 9))  # [L, 9]
+            nrm = jnp.stack(
+                [
+                    r9[:, 0] * nrm_b[:, 0] + r9[:, 1] * nrm_b[:, 1] + r9[:, 2] * nrm_b[:, 2],
+                    r9[:, 3] * nrm_b[:, 0] + r9[:, 4] * nrm_b[:, 1] + r9[:, 5] * nrm_b[:, 2],
+                    r9[:, 6] * nrm_b[:, 0] + r9[:, 7] * nrm_b[:, 1] + r9[:, 8] * nrm_b[:, 2],
+                ],
+                axis=-1,
+            )
         else:
             # geometric normal = pack rows 0:3, already world-frame
             nrm = scene.tri_pack[0:3, :][:, tri].T
@@ -221,8 +244,8 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     nrm = jnp.where(jnp.isfinite(nrm), nrm, 0.0)
     normal_f = _q32(nrm, cfg)
 
-    v_targ = scene.target_vel[targ_safe]
-    refl_c = scene.target_refl[targ_safe]
+    v_targ = _tgather(scene.target_vel)
+    refl_c = _tgather(scene.target_refl)
     k0 = normalize3(state.direction)
     k0 = jnp.where(jnp.isfinite(k0), k0, 0.0)
     k0_azi, k0_ele = _cart_to_sph2(k0)
@@ -234,7 +257,7 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     child = None
     if cfg.refraction_on:
         can = gate & (jnp.abs(refl_c) != 1.0) & (state.refr_depth < cfg.max_refr_dev) & (state.refl_depth == 0)
-        refr_cur_child = jnp.where(refr_prev_new == 1.0, scene.target_refr[targ_safe], 1.0)
+        refr_cur_child = jnp.where(refr_prev_new == 1.0, _tgather(scene.target_refr), 1.0)
         ratio = _q32(refr_cur_child / refr_prev_new, cfg)
         refr_dir, refr_ok = _refract(state.seg_dir, normal_f, ratio, cfg)
         spawn = can & refr_ok
