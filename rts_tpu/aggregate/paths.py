@@ -111,13 +111,17 @@ def aggregate_lanes(
         jnp.where(valid, lane, r + 1), rx_seg, num_segments=n_seg
     )
 
+    # Receiver-level lookups via one-hot contraction: XLA lowers many-index
+    # gathers from a tiny [num_rx+1] operand pathologically.
+    oh_rx = (rx_seg[:, None] == jnp.arange(n_seg, dtype=jnp.int32)[None, :]).astype(fdtype)
+
     direct = valid & (refl_depth == 0) & (refr_depth == 0)
-    npath = jnp.where(direct, rx_n[rx_seg], grp_n)
-    v_sum = jnp.where(direct, rx_volt[rx_seg], grp_volt)
-    d_sum = jnp.where(direct, rx_delay[rx_seg], grp_delay)
-    p_sum = jnp.where(direct, rx_phase[rx_seg], grp_phase)
-    f_sum = jnp.where(direct, rx_dopp[rx_seg], grp_dopp)
-    match = jnp.where(direct, rx_min[rx_seg], grp_min)
+    npath = jnp.where(direct, oh_rx @ rx_n, grp_n)
+    v_sum = jnp.where(direct, oh_rx @ rx_volt, grp_volt)
+    d_sum = jnp.where(direct, oh_rx @ rx_delay, grp_delay)
+    p_sum = jnp.where(direct, oh_rx @ rx_phase, grp_phase)
+    f_sum = jnp.where(direct, oh_rx @ rx_dopp, grp_dopp)
+    match = jnp.where(direct, (oh_rx @ rx_min.astype(fdtype)).astype(rx_min.dtype), grp_min)
     match = jnp.where(valid, match, r + 1)
 
     nz = npath > 0

@@ -44,7 +44,12 @@ def postprocess(
     valid = res.received >= 0
     num_rx = rx_positions.shape[0] if hasattr(rx_positions, "shape") else len(rx_positions)
     rxi = jnp.clip(res.received, 0, max(num_rx - 1, 0))
-    repos = jnp.asarray(rx_positions)[rxi] if num_rx else jnp.zeros_like(res.first_hit)
+    if num_rx:
+        # one-hot contraction — tiny-operand many-index gathers are slow on TPU
+        oh = (rxi[:, None] == jnp.arange(num_rx, dtype=jnp.int32)[None, :]).astype(res.power.dtype)
+        repos = oh @ jnp.asarray(rx_positions, res.power.dtype)
+    else:
+        repos = jnp.zeros_like(res.first_hit)
 
     wavelength = cspeed / carrier
     direct = (res.refl_depth == 0) & (res.refr_depth == 0)
