@@ -122,7 +122,8 @@ class TraceConfig:
     accel: str = "brute"
     cluster_size: int = 256
     ray_tile: int = 512
-    group_size: int = 16  # clusters per supercluster (2-level culling)
+    group_size: int = 16  # clusters per supercluster
+    super_size: int = 1  # groups per super²cluster; 1 = 2-level (measured best at <=1M tris)
     sub_tiles: int = 4  # ray sub-blocks per tile, each slab-gated in the kernel
     # Morton-order the fan so ray tiles are compact patches.  Measured
     # SLOWER than raster order on the bench scenes (raster tiles hold iz

@@ -658,6 +658,7 @@ def trace_fan(
                 cluster_size=cfg.cluster_size,
                 ray_tile=cfg.ray_tile,
                 group_size=cfg.group_size,
+                super_size=cfg.super_size,
                 sub_tiles=cfg.sub_tiles,
                 interpret=cfg.interpret,
             )

@@ -66,7 +66,9 @@ def _mt_kernel(
     mx_ref,  # [Cp, 3] VMEM
     gmn_ref,  # [G, 3] VMEM supercluster bounds
     gmx_ref,  # [G, 3] VMEM
-    gorder_ref,  # [G, 1] SMEM int32 — group visit order (near-to-far)
+    smn_ref,  # [S, 3] VMEM super²-cluster bounds (groups of groups)
+    smx_ref,  # [S, 3] VMEM
+    sorder_ref,  # [S, 1] SMEM int32 — supergroup visit order (near-to-far)
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -80,6 +82,7 @@ def _mt_kernel(
     num_clusters: int,  # padded count Cp
     cluster_size: int,
     group_size: int,
+    super_size: int,  # groups per supergroup (3rd culling level)
     sub_tiles: int,
 ):
     o = o_ref[:]
@@ -201,14 +204,13 @@ def _mt_kernel(
             jnp.any(overlap), lambda cr: on_hit(c, cr), lambda cr: cr, carry
         )
 
-    # Two-level culling: outer loop over superclusters (groups of
-    # ``group_size`` consecutive Morton clusters) prunes whole groups with
-    # one slab test — the in-kernel loop overhead, not the compute, is
-    # what dominates when most clusters miss.  Groups are visited in the
-    # caller-provided near-to-far order so the running-best prune
-    # (tn <= best in the slab test) rejects far geometry without DMA.
-    def group_body(gi, carry):
-        g = gorder_ref[gi, 0]
+    # Three-level culling: supergroup -> group -> cluster AABBs over
+    # consecutive Morton runs.  The in-kernel loop overhead (not compute)
+    # dominates when geometry misses, so each level's slab test must skip
+    # ``super_size``/``group_size`` children at once.  Supergroups are
+    # visited in the caller-provided near-to-far order so the running-best
+    # prune (tn <= best) rejects far geometry without DMA.
+    def group_body(g, carry):
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
 
@@ -218,10 +220,29 @@ def _mt_kernel(
 
         return jax.lax.cond(jnp.any(overlap), visit, lambda cr: cr, carry)
 
+    def super_body(si, carry):
+        sg = sorder_ref[si, 0]
+        best = t_out[:, 0]
+        overlap = _slab_overlap(o, d, tmin, best, smn_ref[sg, :], smx_ref[sg, :])
+        if super_size == 1:
+            # degenerate level: super box == group box, skip the re-test
+            def visit(cr):
+                counters[0] = counters[0] + 1
+                return jax.lax.fori_loop(
+                    sg * group_size, (sg + 1) * group_size, cluster_body, cr
+                )
+
+            return jax.lax.cond(jnp.any(overlap), visit, lambda cr: cr, carry)
+        return jax.lax.cond(
+            jnp.any(overlap),
+            lambda cr: jax.lax.fori_loop(sg * super_size, (sg + 1) * super_size, group_body, cr),
+            lambda cr: cr,
+            carry,
+        )
+
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    pending, cp_id, cnt = jax.lax.fori_loop(
-        0, num_clusters // group_size, group_body, init
-    )
+    n_super = num_clusters // group_size // super_size
+    pending, cp_id, cnt = jax.lax.fori_loop(0, n_super, super_body, init)
 
     # drain the last in-flight cluster
     @pl.when(pending == 1)
@@ -256,7 +277,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "sub_tiles", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -270,6 +291,7 @@ def closest_hit_clustered(
     cluster_size: int = 256,
     ray_tile: int = 256,
     group_size: int = 8,
+    super_size: int = 8,
     sub_tiles: int = 4,
     interpret: bool = False,
     with_stats: bool = False,
@@ -285,24 +307,27 @@ def closest_hit_clustered(
     c = t_total // cluster_size
     rt = ray_tile
 
-    # Pad the cluster list to a group multiple with inverted (never-hit)
-    # boxes; their triangles are never DMA'd so OOB bases are unreachable.
-    c_pad = -(-c // group_size) * group_size
+    # Pad the cluster list to a group*supergroup multiple with inverted
+    # (never-hit) boxes; padding triangles are never DMA'd so OOB bases
+    # are unreachable.
+    c_pad = -(-c // (group_size * super_size)) * (group_size * super_size)
     if c_pad > c:
         pad = c_pad - c
         aabb_mn = jnp.concatenate([aabb_mn, jnp.full((pad, 3), _BIG, aabb_mn.dtype)])
         aabb_mx = jnp.concatenate([aabb_mx, jnp.full((pad, 3), -_BIG, aabb_mx.dtype)])
     g_mn = aabb_mn.reshape(c_pad // group_size, group_size, 3).min(axis=1)
     g_mx = aabb_mx.reshape(c_pad // group_size, group_size, 3).max(axis=1)
-    n_groups = c_pad // group_size
+    n_super = c_pad // group_size // super_size
+    s_mn = g_mn.reshape(n_super, super_size, 3).min(axis=1)
+    s_mx = g_mx.reshape(n_super, super_size, 3).max(axis=1)
     if sort_origin is None:
-        g_order = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+        s_order = jnp.arange(n_super, dtype=jnp.int32)[:, None]
     else:
-        centre = (g_mn + g_mx) * 0.5
+        centre = (s_mn + s_mx) * 0.5
         dist = jnp.sum((centre - jnp.asarray(sort_origin)[None, :]) ** 2, axis=1)
-        # inverted (all-padding) groups can never overlap — push them last
-        dist = jnp.where(jnp.isfinite(dist) & (g_mn[:, 0] <= g_mx[:, 0]), dist, jnp.inf)
-        g_order = jnp.argsort(dist).astype(jnp.int32)[:, None]
+        # inverted (all-padding) supergroups can never overlap — push last
+        dist = jnp.where(jnp.isfinite(dist) & (s_mn[:, 0] <= s_mx[:, 0]), dist, jnp.inf)
+        s_order = jnp.argsort(dist).astype(jnp.int32)[:, None]
 
     l_pad = -(-l // rt) * rt
     if l_pad > l:
@@ -314,7 +339,8 @@ def closest_hit_clustered(
     f32 = jnp.float32
     grid = (l_pad // rt,)
     kernel = partial(
-        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size, group_size=group_size, sub_tiles=sub_tiles
+        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
+        group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
     )
 
     n_tiles = l_pad // rt
@@ -343,6 +369,8 @@ def closest_hit_clustered(
             full(),
             full(),
             full(),
+            full(),
+            full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -361,7 +389,9 @@ def closest_hit_clustered(
         aabb_mx.astype(f32),
         g_mn.astype(f32),
         g_mx.astype(f32),
-        g_order,
+        s_mn.astype(f32),
+        s_mx.astype(f32),
+        s_order,
         tri_pack.astype(f32),
     )
 
