@@ -189,3 +189,37 @@ def test_analytic_rcs_models():
     wl = C / CARRIER
     peak = float(np.asarray(pl.rcs(0.0, 0.0, wl)))
     np.testing.assert_allclose(peak, 4 * np.pi * 36.0 / wl**2)
+
+
+def test_many_targets_gather_fallback():
+    """> 16 targets exercises the direct-gather branch of per-lane target
+    attribute lookup (the one-hot path is gated to small target counts)."""
+    w = World()
+    w.add(
+        Transmitter(
+            path=Path.fixed(0, 0, 0),
+            wave=RadarSignal(carrier=CARRIER),
+            pulse_count=1,
+            tx_span=(0.3, 0.3, 0.0),
+        )
+    )
+    w.add(Receiver(path=Path.fixed(0, 0, 0), sphere=(5.0, 1.2, 1.2)))
+    # 20 small plates fanned out; the boresight one reflects back
+    for k in range(20):
+        y = (k - 10) * 40.0
+        w.add(
+            Target(
+                name=f"p{k}",
+                shape="rect",
+                rect=(2.0, 30.0, 30.0),
+                path=Path.fixed(1000.0, y, 0.0),
+                refl_coeff=0.5 + 0.02 * k,
+            )
+        )
+    s = run(w, Parameters(num_rays=1, max_refl_depth=2))
+    assert s.total_received == 1
+    p = w.receivers[0].responses[0].points[0]
+    # boresight hits target k=10 (y=0): refl 0.7
+    wl = C / CARRIER
+    exp = (1 / (4 * np.pi * 999.0**2)) * 0.7 * (1 / ((4 * np.pi) ** 2 * 999.0**2)) * wl**2
+    np.testing.assert_allclose(p.power, exp, rtol=1e-9)
