@@ -280,3 +280,66 @@ class TestPoleWrapWindow:
         o, e = run_both(scene, params, [0, 0, 0], [0.0, el], [0.2, 0.2, 0.0], rx)
         assert (o.received >= 0).sum() > 0
         assert_match(o, e)
+
+
+class TestNorthStarCriteria:
+    """BASELINE.json north star: per-ray power and phase within 1e-6 of
+    the (double-precision) reference semantics."""
+
+    def test_power_and_phase_error_bounds(self):
+        mesh, _ = sphere_mesh(3, 40.0)
+        scene = compile_scene(
+            [mesh.translated([900.0, 0.0, 0.0])], [0.9], [1.0], [np.array([30.0, 5.0, 0.0])]
+        )
+        params = Parameters(num_rays=5, max_refl_depth=2)
+        o, e = run_both(scene, params, [0, 0, 0], [0.0, 0.0], [0.12, 0.12, 0.0], monostatic_rx(10.0))
+        got = o.received >= 0
+        assert got.sum() > 0
+
+        carrier, cspeed = 10e9, 299792458.0
+        two_pi = 2 * np.pi
+        phase_o = -np.mod(o.ray_length[got] / cspeed * two_pi * carrier, two_pi)
+        phase_e = -np.mod(np.asarray(e.ray_length)[got] / cspeed * two_pi * carrier, two_pi)
+        dphi = np.abs(phase_o - phase_e)
+        dphi = np.minimum(dphi, two_pi - dphi)  # circular distance
+        assert dphi.max() < 1e-6, f"phase error {dphi.max():.2e}"
+
+        rel_power = np.abs(np.asarray(e.power)[got] / o.power[got] - 1.0)
+        assert rel_power.max() < 1e-6, f"power error {rel_power.max():.2e}"
+
+
+class TestFuzzScenes:
+    """Randomized multi-target scenes vs the oracle (fixed seeds)."""
+
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_random_scene(self, seed):
+        rng = np.random.default_rng(seed)
+        meshes, refls, refrs, vels = [], [], [], []
+        for _ in range(rng.integers(2, 4)):
+            if rng.random() < 0.5:
+                m, _ = sphere_mesh(1, rng.uniform(10, 40))
+            else:
+                m = rect_mesh(
+                    rng.uniform(1, 5), rng.uniform(50, 150), rng.uniform(50, 150),
+                    yaw=rng.uniform(-0.4, 0.4), pitch=rng.uniform(-0.4, 0.4),
+                )
+            pos = [rng.uniform(500, 1500), rng.uniform(-200, 200), rng.uniform(-100, 100)]
+            meshes.append(m.translated(pos))
+            refls.append(rng.uniform(0.3, 1.0))
+            refrs.append(rng.uniform(1.0, 2.0))
+            vels.append(rng.uniform(-80, 80, 3))
+        scene = compile_scene(meshes, refls, refrs, vels)
+        params = Parameters(num_rays=3, max_refl_depth=2, max_refr_depth=2)
+        rx = rx_sphere_geometry(
+            rx_pos=rng.uniform(-50, 50, (2, 3)),
+            rx_azimuth=rng.uniform(-0.3, 0.3, 2),
+            rx_elevation=rng.uniform(-0.3, 0.3, 2),
+            sphere_radius=np.array([20.0, 30.0]),
+            theta_span=np.array([1.2, 1.5]),
+            phi_span=np.array([1.2, 1.5]),
+        )
+        o, e = run_both(
+            scene, params, rng.uniform(-10, 10, 3),
+            [rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2)], [0.25, 0.25, 0.0], rx,
+        )
+        assert_match(o, e)
