@@ -53,7 +53,18 @@ def aggregate_lanes(
     w = valid.astype(fdtype)
     delay = ray_length / cspeed
     two_pi = 2.0 * jnp.pi
-    phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
+    if fdtype == jnp.float32:
+        # f32 mod of ~1e5-radian arguments quantises at ~0.03 rad; the
+        # reference computes this in double (aggregation.cu:59-60).
+        # Double-single arithmetic removes the reduction error on-chip
+        # (the remaining floor is the f32 ray-length quantisation).
+        from rts_tpu.core import ds as _ds
+
+        k = _ds.from_f64(two_pi * float(carrier) / float(cspeed))
+        ph = _ds.mod_two_pi(_ds.mul(_ds.ds(ray_length), k))
+        phase = -(ph.hi + ph.lo)
+    else:
+        phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
     volt = jnp.sqrt(power)
 
     # ---- lexicographic sort by (rx, path row); invalid lanes sort last
