@@ -41,7 +41,14 @@ _BIG = 3.0e38  # plain float: jnp scalars would become captured kernel consts
 
 
 def _slab_overlap(o, d, tmin, best, mn, mx):
-    """Rays [RT,3] vs one AABB (mn/mx [3]).  Robust to d==0 axes."""
+    """Rays [RT,3] vs one AABB (mn/mx [3]).  Robust to d==0 axes.
+
+    Inverted boxes (mn > mx, the never-hit padding sentinel) must FAIL:
+    the min/max(t1,t2) below would silently un-invert them, so an explicit
+    validity term gates the result — without it, padding clusters past the
+    real count reach the DMA stage with out-of-bounds bases.
+    """
+    box_ok = (mn <= mx)[None, :]  # [1,3] — broadcasts over rays
     safe_d = jnp.where(d == 0.0, 1.0, d)
     inv = 1.0 / safe_d
     t1 = (mn[None, :] - o) * inv
@@ -52,6 +59,8 @@ def _slab_overlap(o, d, tmin, best, mn, mx):
     # d==0: the axis constrains nothing if o is inside the slab, else kills.
     lo = jnp.where(d == 0.0, jnp.where(inside, -_BIG, _BIG), lo)
     hi = jnp.where(d == 0.0, jnp.where(inside, _BIG, -_BIG), hi)
+    lo = jnp.where(box_ok, lo, _BIG)
+    hi = jnp.where(box_ok, hi, -_BIG)
     tn = jnp.max(lo, axis=1)
     tf = jnp.min(hi, axis=1)
     alive = jnp.sum(d * d, axis=1) > 0.0
@@ -308,7 +317,9 @@ def closest_hit_clustered(
     rt = ray_tile
 
     # Pad the cluster list to a group*supergroup multiple with inverted
-    # (never-hit) boxes; padding triangles are never DMA'd so OOB bases
+    # boxes; _slab_overlap rejects inverted boxes explicitly (mn > mx
+    # folds lo/hi to a never-hit interval), so padding clusters never
+    # reach the DMA stage and their out-of-bounds pack bases (c*cs >= T)
     # are unreachable.
     c_pad = -(-c // (group_size * super_size)) * (group_size * super_size)
     if c_pad > c:
@@ -372,7 +383,7 @@ def closest_hit_clustered(
             full(),
             full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
         scratch_shapes=[

@@ -44,16 +44,20 @@ def rx_sphere_geometry(
     r = np.asarray(sphere_radius, dtype=np.float64)
 
     if strict_parity:
-        # cosf/sinf: float32 argument, float32 evaluation (cpp:903-905).
-        cos_el = np.float32(np.cos(np.float32(el), dtype=np.float32))
-        sin_el = np.float32(np.sin(np.float32(el), dtype=np.float32))
-        cos_az = np.float32(np.cos(np.float32(az), dtype=np.float32))
-        sin_az = np.float32(np.sin(np.float32(az), dtype=np.float32))
+        # cosf/sinf: float32 argument, float32 evaluation (cpp:903-905) —
+        # but the PRODUCTS are evaluated in double (the float results are
+        # promoted before multiplying with the double radius), so widen to
+        # f64 immediately after the narrowed trig call.
+        cos_el = np.cos(np.float32(el), dtype=np.float32).astype(np.float64)
+        sin_el = np.sin(np.float32(el), dtype=np.float32).astype(np.float64)
+        cos_az = np.cos(np.float32(az), dtype=np.float32).astype(np.float64)
+        sin_az = np.sin(np.float32(az), dtype=np.float32).astype(np.float64)
     else:
         cos_el, sin_el, cos_az, sin_az = np.cos(el), np.sin(el), np.cos(az), np.sin(az)
 
+    # left-associated like the C++ expression: (r * cosf(el)) * cosf(az)
     centre = rx_pos + np.stack(
-        [r * (cos_el * cos_az), r * (cos_el * sin_az), r * sin_el], axis=-1
+        [(r * cos_el) * cos_az, (r * cos_el) * sin_az, r * sin_el], axis=-1
     )
 
     # Receiver position in spherical coords relative to the sphere centre

@@ -179,8 +179,8 @@ def run_cpi(
             rx.SetNoiseTemperature(wave.GetTemp() + rx.GetNoiseTemperature())
         emit = np.asarray(out.agg.emit)
         received = np.asarray(out.received)
-        power = np.asarray(out.power)
-        doppler = np.asarray(out.doppler)
+        power = np.asarray(out.agg.power)
+        doppler = np.asarray(out.agg.doppler)
         delay = np.asarray(out.agg.delay)
         phase = np.asarray(out.agg.phase)
         times = np.asarray(batch.times)

@@ -18,9 +18,12 @@ Reference quirks preserved:
     t=0 attitude (composite R(t)·R(0)), and only when ``t > start_time``
     (ray_tracer.cpp:993-1007); the t=0 angles are float-narrowed, the
     time-varying ones are double.
-  * ``InterpPoint`` takes the representative ray's post-processed power
-    and Doppler but the path-group's aggregated delay and phase
-    (ray_tracer.cpp:1310-1316: "Power and Doppler from hbuf_results").
+  * ``InterpPoint`` takes the path-group AGGREGATED power, Doppler,
+    delay and phase: aggregation kernel 2 writes the combined power and
+    Doppler back into ``d_results_arr`` (aggregation.cu:89-93), which is
+    copied into ``h_rx_results_arr`` (aggregation.cu:169) before the
+    InterpPoint loop reads it (ray_tracer.cpp:1310-1316) — so "Power and
+    Doppler from hbuf_results" are the aggregated values too.
   * Target velocity is finite-differenced over one CW sample
     (ray_tracer.cpp:941-948).
 """
@@ -205,8 +208,8 @@ def run(
             # Hand-off: one Response per unique path (ray_tracer.cpp:1290-1321).
             emit_idx = np.flatnonzero(np.asarray(lane.emit))
             h_received = np.asarray(res.received)
-            h_power = np.asarray(power)
-            h_doppler = np.asarray(doppler)
+            h_power = np.asarray(lane.power)
+            h_doppler = np.asarray(lane.doppler)
             h_delay = np.asarray(lane.delay)
             h_phase = np.asarray(lane.phase)
             n_resp = 0

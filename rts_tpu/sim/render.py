@@ -175,15 +175,17 @@ def render_cpi_result(
     """Render one receiver's range-Doppler map from a traced CPI.
 
     Uses the emit-masked unique-path lanes — the jit-friendly equivalent
-    of looping over Response objects (ray_tracer.cpp:1290-1321), with the
-    same power/doppler-per-representative + aggregated delay/phase rule.
+    of looping over Response objects (ray_tracer.cpp:1290-1321).  All four
+    quantities are the path-group aggregates: aggregation kernel 2 writes
+    combined power/Doppler back into the results array the InterpPoint
+    loop reads (aggregation.cu:89-93,169; ray_tracer.cpp:1310-1316).
     """
     valid = out.agg.emit & (out.received == rx_index)
     samples = synthesize_cpi(
-        out.power,
+        out.agg.power,
         out.agg.delay,
         out.agg.phase,
-        out.doppler,
+        out.agg.doppler,
         valid,
         grid,
         tx_power=tx_power,

@@ -32,6 +32,61 @@ def run_clustered(dev, o, d, tmin):
     )
 
 
+def test_slab_overlap_rejects_inverted_boxes():
+    """Padding sentinel boxes [+BIG, -BIG] must never overlap: min/max of
+    (t1, t2) would silently un-invert them for all-nonzero-direction rays,
+    sending padding clusters to the DMA stage with out-of-bounds bases."""
+    from rts_tpu.ops.cluster_trace import _BIG, _slab_overlap
+
+    o = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 3.0, -2.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.5, 0.25], [-1.0, 2.0, 0.5]], jnp.float32)
+    tmin = jnp.zeros(2, jnp.float32)
+    best = jnp.full(2, _BIG, jnp.float32)
+    mn = jnp.full(3, _BIG, jnp.float32)
+    mx = jnp.full(3, -_BIG, jnp.float32)
+    assert not bool(_slab_overlap(o, d, tmin, best, mn, mx).any())
+    # a real box containing the first ray's path still overlaps
+    mn2 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    mx2 = jnp.asarray([3.0, 2.0, 1.0], jnp.float32)
+    assert bool(_slab_overlap(o, d, tmin, best, mn2, mx2)[0])
+
+
+def test_padding_clusters_never_processed():
+    """With heavy cluster padding (c << group*super multiple), the stats
+    counters must show only real clusters reaching the DMA/MT stage."""
+    mesh, _ = sphere_mesh(2, 50.0)
+    scene = compile_scene([mesh.translated([900.0, 0.0, 0.0])], [0.9], [1.0])
+    scene = cluster_reorder(scene, cluster_size=CS)
+    dev = scene_to_device(scene, dtype=jnp.float32)
+    c_real = dev.tri_p0.shape[0] // CS
+    assert c_real < 64  # defaults pad to group_size*super_size = 64
+
+    l = RT
+    o = jnp.zeros((l, 3), jnp.float32)
+    d = jnp.stack(
+        [jnp.ones(l), jnp.linspace(-0.1, 0.1, l), jnp.linspace(-0.05, 0.05, l)], axis=-1
+    ).astype(jnp.float32)
+    tmin = jnp.full((l,), 0.005, jnp.float32)
+
+    mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
+    pack = pack_tri_fields(dev.tri_n, dev.tri_c1, dev.tri_c0, dev.tri_e1, dev.tri_e0, dev.tri_np0)
+    hit, stats = closest_hit_clustered(
+        o, d, tmin, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+        interpret=True, with_stats=True,
+    )
+    assert bool(hit.found.any())
+    clusters_processed = int(np.asarray(stats)[:, 1].max())
+    assert 0 < clusters_processed <= c_real
+
+    ref = closest_hit_bruteforce(
+        o, d, tmin, dev.tri_p0, dev.tri_e0, dev.tri_e1, dev.tri_n,
+        dev.tri_c1, dev.tri_c0, dev.tri_np0, tri_chunk=64,
+    )
+    np.testing.assert_array_equal(np.asarray(hit.found), np.asarray(ref.found))
+    f = np.asarray(ref.found)
+    np.testing.assert_array_equal(np.asarray(hit.tri)[f], np.asarray(ref.tri)[f])
+
+
 def test_morton_order_is_permutation():
     scene = make_scene()
     perm = morton_order(scene.tri_verts[: scene.num_real_tris])
