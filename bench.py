@@ -96,6 +96,7 @@ def build(args):
         accel=args.accel,
         cluster_size=args.cluster_size,
         ray_tile=args.ray_tile,
+        refine=args.refine,
     )
     return base, batch, cfg, spec, int(base.tri_verts.shape[0])
 
@@ -113,10 +114,23 @@ def main():
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")
+    ap.add_argument(
+        "--refine",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="double-single path replay ON (the production 1e-6 power/phase config)",
+    )
+    ap.add_argument(
+        "--cpi256",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="also time one full 256-pulse CPI (BASELINE config 5 tracked metric)",
+    )
     args = ap.parse_args()
     if args.tiny:
         args.tris, args.rays, args.pulses, args.repeat, args.tri_chunk = 320, 3, 2, 1, 128
         args.accel = "brute"
+        args.cpi256 = False
 
     import jax
 
@@ -142,6 +156,21 @@ def main():
 
     value = rays_per_run / best
     received = int((out.received >= 0).sum())
+
+    cpi256_seconds = None
+    if args.cpi256:
+        # BASELINE config 5: wall-clock for one full 256-pulse CPI on the
+        # same scene (one jit call, warm compile, scalar-readback sync).
+        args256 = argparse.Namespace(**vars(args))
+        args256.pulses = 256
+        b256, batch256, cfg256, spec256 = build(args256)[:4]
+        out256 = trace_cpi(b256, batch256, cfg256, spec256)
+        float(out256.power.sum())
+        t0 = time.perf_counter()
+        out256 = trace_cpi(b256, batch256, cfg256, spec256)
+        float(out256.power.sum())
+        cpi256_seconds = time.perf_counter() - t0
+        print(f"# cpi256: {cpi256_seconds:.3f}s per 256-pulse CPI", file=sys.stderr)
 
     if args.stats and args.accel == "cluster":
         import numpy as np
@@ -180,16 +209,15 @@ def main():
         f"platform {jax.devices()[0].platform}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_sec_per_chip",
-                "value": value,
-                "unit": "rays/s",
-                "vs_baseline": value / 1e9,
-            }
-        )
-    )
+    record = {
+        "metric": "rays_per_sec_per_chip",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+    }
+    if cpi256_seconds is not None:
+        record["cpi256_seconds"] = cpi256_seconds
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,10 @@ class LaneAggregate(NamedTuple):
     doppler: jnp.ndarray  # [R] mean Doppler
     path_match: jnp.ndarray  # [R] min matching lane (R+1 for invalid lanes)
     emit: jnp.ndarray  # [R] bool — this lane produces a Response
+    # ds residual of ``phase``: one f32 holds phase to ~5e-7 rad at worst;
+    # hosts add hi+lo into the (double) InterpPoint so the emitted phase
+    # keeps the full double-single precision of the refined ray length.
+    phase_lo: jnp.ndarray = None
 
 
 def aggregate_lanes(
@@ -44,6 +48,7 @@ def aggregate_lanes(
     num_rx: int,
     cspeed,
     carrier,
+    ray_length_lo=None,  # [R] ds residual from the replay (engine/replay.py)
 ) -> LaneAggregate:
     r = received.shape[0]
     d = path.shape[1]
@@ -53,16 +58,24 @@ def aggregate_lanes(
     w = valid.astype(fdtype)
     delay = ray_length / cspeed
     two_pi = 2.0 * jnp.pi
+    phase_lo = None
     if fdtype == jnp.float32:
         # f32 mod of ~1e5-radian arguments quantises at ~0.03 rad; the
         # reference computes this in double (aggregation.cu:59-60).
-        # Double-single arithmetic removes the reduction error on-chip
-        # (the remaining floor is the f32 ray-length quantisation).
+        # Double-single arithmetic removes the reduction error on-chip;
+        # with a replay-refined ds ray length the phase carries the full
+        # ~2^-48 precision (hi + lo), else the floor is the f32 ray-length
+        # quantisation.
         from rts_tpu.core import ds as _ds
 
         k = _ds.from_f64(two_pi * float(carrier) / float(cspeed))
-        ph = _ds.mod_two_pi(_ds.mul(_ds.ds(ray_length), k))
-        phase = -(ph.hi + ph.lo)
+        rl = _ds.DS(ray_length, ray_length_lo) if ray_length_lo is not None else _ds.ds(ray_length)
+        ph = _ds.mod_two_pi(_ds.mul(rl, k))
+        if ray_length_lo is not None:
+            phase = -ph.hi
+            phase_lo = -ph.lo
+        else:
+            phase = -(ph.hi + ph.lo)
     else:
         phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
     volt = jnp.sqrt(power)
@@ -96,6 +109,11 @@ def aggregate_lanes(
     g_delay = jax.ops.segment_sum(s_delay, seg, num_segments=r)
     g_phase = jax.ops.segment_sum(s_phase, seg, num_segments=r)
     g_dopp = jax.ops.segment_sum(s_dopp, seg, num_segments=r)
+    g_phase_lo = (
+        jax.ops.segment_sum(phase_lo[perm] * s_w, seg, num_segments=r)
+        if phase_lo is not None
+        else None
+    )
     g_min = jax.ops.segment_min(
         jnp.where(valid[perm], perm, r + 1), seg, num_segments=r
     )
@@ -109,6 +127,7 @@ def aggregate_lanes(
     grp_phase = g_phase[lane_seg]
     grp_dopp = g_dopp[lane_seg]
     grp_min = g_min[lane_seg]
+    grp_phase_lo = g_phase_lo[lane_seg] if phase_lo is not None else None
 
     # ---- receiver-level aggregates (for the direct-transmission rule)
     rx_seg = jnp.where(valid, received, num_rx).astype(jnp.int32)
@@ -118,6 +137,11 @@ def aggregate_lanes(
     rx_delay = jax.ops.segment_sum(delay * w, rx_seg, num_segments=n_seg)
     rx_phase = jax.ops.segment_sum(phase * w, rx_seg, num_segments=n_seg)
     rx_dopp = jax.ops.segment_sum(doppler * w, rx_seg, num_segments=n_seg)
+    rx_phase_lo = (
+        jax.ops.segment_sum(phase_lo * w, rx_seg, num_segments=n_seg)
+        if phase_lo is not None
+        else None
+    )
     rx_min = jax.ops.segment_min(
         jnp.where(valid, lane, r + 1), rx_seg, num_segments=n_seg
     )
@@ -139,8 +163,18 @@ def aggregate_lanes(
     safe_n = jnp.where(nz, npath, 1.0)
     agg_power = jnp.where(nz, (v_sum / safe_n) ** 2, power)
     agg_delay = jnp.where(nz, d_sum / safe_n, d_sum)
-    agg_phase = jnp.where(nz, p_sum / safe_n, p_sum)
     agg_dopp = jnp.where(nz, f_sum / safe_n, doppler)
+    if phase_lo is not None:
+        # phase mean in ds so the emitted (hi + lo) keeps replay precision
+        from rts_tpu.core import ds as _ds
+
+        p_sum_lo = jnp.where(direct, oh_rx @ rx_phase_lo, grp_phase_lo)
+        mean = _ds.div(_ds.DS(p_sum, p_sum_lo), _ds.ds(safe_n))
+        agg_phase = jnp.where(nz, mean.hi, p_sum)
+        agg_phase_lo = jnp.where(nz, mean.lo, p_sum_lo)
+    else:
+        agg_phase = jnp.where(nz, p_sum / safe_n, p_sum)
+        agg_phase_lo = jnp.zeros_like(agg_phase)
 
     # ---- unique-path representatives (ray_tracer.cpp:1290-1304)
     emit = (
@@ -157,4 +191,5 @@ def aggregate_lanes(
         doppler=agg_dopp,
         path_match=match,
         emit=emit,
+        phase_lo=agg_phase_lo,
     )

@@ -41,14 +41,35 @@ class SceneBase(NamedTuple):
     tri_target: jnp.ndarray  # [T] int32, -1 padding
     target_refl: jnp.ndarray  # [NT]
     target_refr: jnp.ndarray  # [NT]
+    # ds residuals (f64 minus f32) for the extended-precision replay
+    # (engine/replay.py); None unless built with ``with_lo=True``.
+    tri_verts_lo: jnp.ndarray = None
+    tri_corner_normals_lo: jnp.ndarray = None
+    target_refl_lo: jnp.ndarray = None
+    target_refr_lo: jnp.ndarray = None
 
     @property
     def num_targets(self) -> int:
         return int(self.target_refl.shape[0])
 
 
-def scene_base(scene: SceneArrays, dtype=jnp.float32) -> SceneBase:
+def _lo32(a64) -> jnp.ndarray:
+    """float64 array -> the f32 residual of its f32 rounding."""
+    a64 = np.asarray(a64, np.float64)
+    hi = a64.astype(np.float32)
+    return jnp.asarray((a64 - hi.astype(np.float64)).astype(np.float32))
+
+
+def scene_base(scene: SceneArrays, dtype=jnp.float32, with_lo: bool = False) -> SceneBase:
     tv = np.asarray(scene.tri_verts)
+    lo = {}
+    if with_lo:
+        lo = dict(
+            tri_verts_lo=_lo32(tv),
+            tri_corner_normals_lo=_lo32(scene.tri_normals),
+            target_refl_lo=_lo32(scene.target_refl_coeff),
+            target_refr_lo=_lo32(scene.target_refr_index),
+        )
     return SceneBase(
         tri_verts=jnp.asarray(tv, dtype),
         tri_verts_t=jnp.asarray(np.ascontiguousarray(tv.reshape(-1, 9).T), dtype),
@@ -56,6 +77,7 @@ def scene_base(scene: SceneArrays, dtype=jnp.float32) -> SceneBase:
         tri_target=jnp.asarray(scene.tri_target, jnp.int32),
         target_refl=jnp.asarray(scene.target_refl_coeff, dtype),
         target_refr=jnp.asarray(scene.target_refr_index, dtype),
+        **lo,
     )
 
 

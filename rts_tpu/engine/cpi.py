@@ -51,6 +51,7 @@ class PulseBatch(NamedTuple):
     tx_origin: jnp.ndarray  # [P, 3]
     tx_dir: jnp.ndarray  # [P, 2] boresight (azimuth, elevation)
     times: jnp.ndarray  # [P] pulse start times
+    refine: object = None  # RefineExtras (leaves [P, ...]) when cfg.refine
 
 
 def make_pulse_fn(
@@ -74,18 +75,30 @@ def make_pulse_fn(
     (CPI batching) or shard_mapped (ICI).
     """
 
-    def one_pulse(rot, pos, vel, rx_geom: RxGeomDevice, rx_pos, tx_origin, tx_dir, time_t):
+    def one_pulse(rot, pos, vel, rx_geom: RxGeomDevice, rx_pos, tx_origin, tx_dir, time_t, refine=None):
         dtype = base.tri_verts.dtype
         if cfg.accel == "cluster":
             scene = animate_packed(base, rot, pos, vel, cfg.cluster_size)
         else:
             scene = animate_scene(base, rot, pos, vel)
         fan = generate_fan(cfg.num_rays, (tx_dir[0], tx_dir[1]), tx_span, dtype=dtype)
+        block = cfg.rays_per_fan
+        offset = jnp.int32(0)
         if fan_slice is not None:
             n_shards, index = fan_slice
             block = cfg.rays_per_fan // n_shards
-            fan = jax.lax.dynamic_slice_in_dim(fan, index() * block, block, axis=0)
+            offset = (index() * block).astype(jnp.int32)
+            fan = jax.lax.dynamic_slice_in_dim(fan, offset, block, axis=0)
         res = trace_fan(scene, rx_geom, tx_origin, fan, cfg)
+        if cfg.refine:
+            from rts_tpu.engine.replay import replay_refine
+
+            res = replay_refine(
+                base, res, cfg, refine,
+                rot=rot, pos=pos, vel=vel, rx_geom=rx_geom,
+                tx_origin=tx_origin, tx_span=tx_span,
+                fan_block=block, fan_offset=offset,
+            )
         power, doppler, delay = postprocess(
             res,
             tx_origin=tx_origin,
@@ -113,6 +126,7 @@ def make_pulse_fn(
             num_rx=num_rx,
             cspeed=cspeed,
             carrier=carrier,
+            ray_length_lo=res.ray_length_lo if cfg.refine else None,
         )
         return CpiResult(power=power, doppler=doppler, delay=delay, received=res.received, agg=agg)
 
@@ -136,6 +150,7 @@ def map_pulses(full, batch: PulseBatch, cfg: TraceConfig):
         batch.tx_origin,
         batch.tx_dir,
         batch.times,
+        batch.refine,
     )
     if cfg.accel == "cluster":
         return jax.lax.map(lambda xs: full(*xs), args)
@@ -146,8 +161,8 @@ def map_pulses(full, batch: PulseBatch, cfg: TraceConfig):
 def _trace_cpi_jit(base, batch, cfg, spec):
     one_pulse, aggregate = make_pulse_fn(base, cfg, **spec.kwargs())
 
-    def full(rot, pos, vel, rxg, rxp, txo, txd, t):
-        return aggregate(*one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t))
+    def full(rot, pos, vel, rxg, rxp, txo, txd, t, refine=None):
+        return aggregate(*one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t, refine))
 
     return map_pulses(full, batch, cfg)
 

@@ -136,6 +136,12 @@ class TraceConfig:
     # mostly hits, as in the bench scenes — default off.
     compact_lanes: bool = False
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
+    # Extended-precision (double-single) path replay: after the f32 trace,
+    # re-evaluate ray_length/power/doppler along the recorded chains so
+    # the f32 engine meets the reference's double-precision 1e-6
+    # power/phase contract (engine/replay.py).  Requires a SceneBase
+    # built with with_lo=True and a PulseBatch carrying RefineExtras.
+    refine: bool = False
 
     @classmethod
     def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":
@@ -167,6 +173,13 @@ class TraceConfig:
     @property
     def depth_total(self) -> int:
         return (self.max_refl_dev - 1) + self.max_refr_dev
+
+    @property
+    def tri_seq_width(self) -> int:
+        """Chain-record width for the ds replay: one slot per possible
+        gated hit (col = refl+refr is monotone along a chain and bounded
+        by depth_total)."""
+        return self.depth_total + 1
 
     @property
     def num_segments(self) -> int:

@@ -62,6 +62,13 @@ class LaneState(NamedTuple):
     end: jnp.ndarray  # [L] bool
     active: jnp.ndarray  # [L] bool
     born: jnp.ndarray  # [L] bool — lane was ever spawned (vs zero-fill slot)
+    # Discrete-decision record for the extended-precision replay
+    # (engine/replay.py): the triangle hit at each chain step (children
+    # inherit the parent's prefix through the spawn shift), and per-
+    # receiver capture/root-choice bitmasks from the miss stage.
+    tri_seq: jnp.ndarray  # [L, W] int32, -1 = no hit at that chain step
+    cap_bits: jnp.ndarray  # [L] int32, bit rx set when the lane was captured by rx
+    cap_root0_bits: jnp.ndarray  # [L] int32, bit rx set when the NEAR root captured
 
 
 class TraceBuffers(NamedTuple):
@@ -82,6 +89,11 @@ class TraceResult(NamedTuple):
     prev_hit: jnp.ndarray  # [R, 3]
     path: jnp.ndarray  # [R, D] int32
     rcs: jnp.ndarray  # [R, D, 2]
+    # chain record for ds replay (engine/replay.py); zeros/-1 when unused
+    tri_seq: jnp.ndarray  # [R, W] int32
+    cap_bits: jnp.ndarray  # [R] int32
+    cap_root0_bits: jnp.ndarray  # [R] int32
+    ray_length_lo: jnp.ndarray  # [R] ds residual of ray_length (replay output)
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +197,11 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     path = bufs.path
     path = path.at[:l].set(_scatter_col(path[:l], col, targ, rec))
 
+    # --- chain record for ds replay: every gated hit, indexed by its
+    # chain step (col is monotone along a chain; children inherit the
+    # updated prefix below since tri_seq rides in LaneState)
+    tri_seq = _scatter_col(state.tri_seq, col, hit.tri, gate)
+
     # --- geometry update
     hit_t = _q32(hit.t, cfg)
     hit_t = jnp.where(gate, hit_t, 0.0)
@@ -283,6 +300,9 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
             end=end,
             active=jnp.ones((l,), bool),
             born=jnp.ones((l,), bool),
+            tri_seq=tri_seq,
+            cap_bits=state.cap_bits,
+            cap_root0_bits=state.cap_root0_bits,
         )
 
         # refraction RCS angles -> child row (normal_shader.cu:259-265)
@@ -356,6 +376,9 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         end=end,
         active=do_refl,
         born=state.born,
+        tri_seq=tri_seq,
+        cap_bits=state.cap_bits,
+        cap_root0_bits=state.cap_root0_bits,
     )
 
     # merge into lanes untouched by a hit
@@ -410,6 +433,8 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
     doppler = state.doppler
     received = state.received
     end = state.end
+    cap_bits = state.cap_bits
+    cap_root0_bits = state.cap_root0_bits
 
     d = state.direction
     a_q = dot3(d, d)
@@ -500,6 +525,11 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
         got = cap_dir | cap_ind
         ray_length = jnp.where(got, ray_length + t_cap, ray_length)
         received = jnp.where(got, rx_i, received)
+        # replay record: which receivers contributed a capture leg, and
+        # whether the NEAR quadratic root was the accepted one
+        bit = jnp.int32(1 << rx_i)
+        cap_bits = jnp.where(got, cap_bits | bit, cap_bits)
+        cap_root0_bits = jnp.where(got & cap0, cap_root0_bits | bit, cap_root0_bits)
 
     # Earth-sphere termination (cu:438-477)
     e = miss_mask & ~end
@@ -522,6 +552,8 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
         received=received,
         end=end,
         active=active,
+        cap_bits=cap_bits,
+        cap_root0_bits=cap_root0_bits,
     )
 
 
@@ -585,6 +617,9 @@ def _init_state(cfg: TraceConfig, tx_origin, dirs, dtype) -> LaneState:
         end=jnp.zeros((lanes,), bool),
         active=active,
         born=active,
+        tri_seq=jnp.full((lanes, cfg.tri_seq_width), -1, jnp.int32),
+        cap_bits=jnp.zeros((lanes,), jnp.int32),
+        cap_root0_bits=jnp.zeros((lanes,), jnp.int32),
     )
 
 
@@ -768,6 +803,10 @@ def trace_fan(
         prev_hit=fill(jnp.where(state.born[:, None], state.origin, 0.0), 0.0, (3,)),
         path=bufs.path,
         rcs=bufs.rcs,
+        tri_seq=fill(state.tri_seq, -1, (state.tri_seq.shape[1],)),
+        cap_bits=fill(state.cap_bits, 0),
+        cap_root0_bits=fill(state.cap_root0_bits, 0),
+        ray_length_lo=fill(jnp.zeros_like(state.ray_length), 0.0),
     ))
 
 

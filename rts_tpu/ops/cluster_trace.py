@@ -78,6 +78,9 @@ def _mt_kernel(
     smn_ref,  # [S, 3] VMEM super²-cluster bounds (groups of groups)
     smx_ref,  # [S, 3] VMEM
     sorder_ref,  # [S, 1] SMEM int32 — supergroup visit order (near-to-far)
+    gorder_ref,  # [G, 1] SMEM int32 — group visit order, near-to-far WITHIN
+    #              each supergroup (slot sg*super_size + j holds the j-th
+    #              nearest group of supergroup sg)
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -219,7 +222,8 @@ def _mt_kernel(
     # ``super_size``/``group_size`` children at once.  Supergroups are
     # visited in the caller-provided near-to-far order so the running-best
     # prune (tn <= best) rejects far geometry without DMA.
-    def group_body(g, carry):
+    def group_body(gi, carry):
+        g = gorder_ref[gi, 0]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
 
@@ -331,14 +335,25 @@ def closest_hit_clustered(
     n_super = c_pad // group_size // super_size
     s_mn = g_mn.reshape(n_super, super_size, 3).min(axis=1)
     s_mx = g_mx.reshape(n_super, super_size, 3).max(axis=1)
+    n_groups = c_pad // group_size
     if sort_origin is None:
         s_order = jnp.arange(n_super, dtype=jnp.int32)[:, None]
+        g_order = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
     else:
         centre = (s_mn + s_mx) * 0.5
         dist = jnp.sum((centre - jnp.asarray(sort_origin)[None, :]) ** 2, axis=1)
         # inverted (all-padding) supergroups can never overlap — push last
         dist = jnp.where(jnp.isfinite(dist) & (s_mn[:, 0] <= s_mx[:, 0]), dist, jnp.inf)
         s_order = jnp.argsort(dist).astype(jnp.int32)[:, None]
+        # near-to-far group order WITHIN each supergroup, so the running-
+        # best prune fires as early at the group level as at the super
+        # level (the round-1 3-level attempt lost to index-order groups)
+        gc = (g_mn + g_mx) * 0.5
+        gd = jnp.sum((gc - jnp.asarray(sort_origin)[None, :]) ** 2, axis=1)
+        gd = jnp.where(jnp.isfinite(gd) & (g_mn[:, 0] <= g_mx[:, 0]), gd, jnp.inf)
+        local = jnp.argsort(gd.reshape(n_super, super_size), axis=1).astype(jnp.int32)
+        base_i = (jnp.arange(n_super, dtype=jnp.int32) * super_size)[:, None]
+        g_order = (base_i + local).reshape(-1)[:, None]
 
     l_pad = -(-l // rt) * rt
     if l_pad > l:
@@ -383,6 +398,7 @@ def closest_hit_clustered(
             full(),
             full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
@@ -403,6 +419,7 @@ def closest_hit_clustered(
         s_mn.astype(f32),
         s_mx.astype(f32),
         s_order,
+        g_order,
         tri_pack.astype(f32),
     )
 

@@ -80,23 +80,23 @@ def _trace_cpi_shmap(base: SceneBase, batch: PulseBatch, cfg: TraceConfig, spec:
         fan_slice=(ray_shards, lambda: jax.lax.axis_index("ray")),
     )
 
-    def per_pulse(rot, pos, vel, rxg, rxp, txo, txd, t):
-        res, power, doppler, delay = one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t)
+    def per_pulse(rot, pos, vel, rxg, rxp, txo, txd, t, refine=None):
+        res, power, doppler, delay = one_pulse(rot, pos, vel, rxg, rxp, txo, txd, t, refine)
         # Reassemble full-pulse lanes across the ray axis for aggregation.
         regather = partial(_regather_lanes, slot_mult=cfg.slot_multiplier, f_local=f_local)
         res = jax.tree.map(regather, res)
         power, doppler, delay = regather(power), regather(doppler), regather(delay)
         return aggregate(res, power, doppler, delay)
 
-    def block(rot, pos, vel, rxg, rxp, txo, txd, t):
-        local = PulseBatch(rot, pos, vel, rxg, rxp, txo, txd, t)
+    def block(rot, pos, vel, rxg, rxp, txo, txd, t, refine=None):
+        local = PulseBatch(rot, pos, vel, rxg, rxp, txo, txd, t, refine)
         return map_pulses(per_pulse, local, cfg)
 
     in_spec = P("pulse")
     shmapped = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(in_spec,) * 8,
+        in_specs=(in_spec,) * 9,
         out_specs=P("pulse"),
         check_vma=False,
     )
@@ -109,6 +109,7 @@ def _trace_cpi_shmap(base: SceneBase, batch: PulseBatch, cfg: TraceConfig, spec:
         batch.tx_origin,
         batch.tx_dir,
         batch.times,
+        batch.refine,
     )
 
 

@@ -81,9 +81,10 @@ def postprocess(
 
     power = jnp.where(valid, power * (wavelength**2 * gt * gr), res.power)
 
-    # relativistic Doppler (ray_tracer.cpp:1251-1253)
-    vr = res.doppler / 2.0
-    doppler = jnp.where(
-        valid, carrier * ((1.0 + vr / cspeed) / (1.0 - vr / cspeed) - 1.0), res.doppler
-    )
+    # relativistic Doppler (ray_tracer.cpp:1251-1253).  Algebraically
+    # (1+x)/(1-x) - 1 == 2x/(1-x); the literal form is catastrophic in
+    # f32 (x = vr/c ~ 3e-7 is below the ulp of 1.0), the rewritten form
+    # is exact to rounding in both dtypes.
+    x = (res.doppler / 2.0) / cspeed
+    doppler = jnp.where(valid, carrier * (2.0 * x / (1.0 - x)), res.doppler)
     return power, doppler, delay

@@ -36,8 +36,14 @@ def prepare_cpi(
     cluster_size: int = 256,
     ray_tile: int = 256,
     interpret: bool = False,
+    refine: bool = False,
 ):
-    """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI."""
+    """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI.
+
+    ``refine=True`` additionally ships the double-single residuals and
+    per-pulse fan rotations the extended-precision replay needs
+    (engine/replay.py), so the f32 engine meets the reference's
+    double-precision 1e-6 power/phase contract."""
     trans = world.transmitters[tx_index]
     signal = TransmitterPulse()
     trans.GetPulse(signal, 0)
@@ -59,7 +65,7 @@ def prepare_cpi(
         from rts_tpu.accel import cluster_reorder
 
         scene = cluster_reorder(scene, cluster_size=cluster_size)
-    base = scene_base(scene, dtype=dtype)
+    base = scene_base(scene, dtype=dtype, with_lo=refine)
 
     # per-pulse transforms
     rot = attitude_rotations(world.targets, times, params.start_time)
@@ -98,6 +104,42 @@ def prepare_cpi(
         max_phi=jnp.asarray(np.stack(geo_leaves["max_phi"]), dtype),
     )
 
+    extras = None
+    if refine:
+        if dtype != jnp.float32:
+            raise ValueError("refine=True targets the f32 engine (lo residuals are f64-f32)")
+        from rts_tpu.core.rotation import rot_axis_reversed, rot_z
+        from rts_tpu.engine.replay import RefineExtras
+
+        def lo32(a):
+            a = np.asarray(a, np.float64)
+            return jnp.asarray((a - a.astype(np.float32).astype(np.float64)).astype(np.float32))
+
+        # per-pulse fan rotation r1 @ rz in f64 (mirrors engine/fan.py)
+        fan_rot = np.zeros((pulse_count, 3, 3))
+        bore = np.zeros((pulse_count, 3))
+        for i in range(pulse_count):
+            az, el = float(txd[i, 0]), float(txd[i, 1])
+            rz = rot_z(np.float64(az), xp=np)
+            orth = rz[:, 1] / np.linalg.norm(rz[:, 1])
+            r1 = rot_axis_reversed(orth, np.float64(el), xp=np)
+            fan_rot[i] = r1 @ rz
+            bore[i] = [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)]
+        rx_c = np.stack(geo_leaves["centre"])
+        rx_r = np.stack(geo_leaves["radius"])
+        extras = RefineExtras(
+            rot_lo=lo32(rot),
+            pos_lo=lo32(pos),
+            vel_lo=lo32(vel),
+            txo_lo=lo32(txo),
+            rxc_lo=lo32(rx_c),
+            rxr_lo=lo32(rx_r),
+            fan_rot_hi=jnp.asarray(fan_rot.astype(np.float32)),
+            fan_rot_lo=lo32(fan_rot),
+            bore_hi=jnp.asarray(bore.astype(np.float32)),
+            bore_lo=lo32(bore),
+        )
+
     batch = PulseBatch(
         rot=jnp.asarray(rot, dtype),
         pos=jnp.asarray(pos, dtype),
@@ -107,6 +149,7 @@ def prepare_cpi(
         tx_origin=jnp.asarray(txo, dtype),
         tx_dir=jnp.asarray(txd, dtype),
         times=jnp.asarray(times, dtype),
+        refine=extras,
     )
 
     cfg = TraceConfig.from_parameters(
@@ -117,6 +160,7 @@ def prepare_cpi(
         cluster_size=cluster_size,
         ray_tile=ray_tile,
         interpret=interpret,
+        refine=refine,
     )
     spec = CpiSpec(
         tx_span=trans.GetTxSpan(),
@@ -152,6 +196,7 @@ def run_cpi(
     cluster_size: int = 1024,
     ray_tile: int = 256,
     interpret: bool = False,
+    refine: bool = False,
     attach_responses: bool = True,
 ) -> CpiResult:
     """Trace one transmitter's whole CPI in a single jit call, then
@@ -167,6 +212,7 @@ def run_cpi(
         cluster_size=cluster_size,
         ray_tile=ray_tile,
         interpret=interpret,
+        refine=refine,
     )
     out = trace_cpi(base, batch, cfg, spec)
 
@@ -182,7 +228,7 @@ def run_cpi(
         power = np.asarray(out.agg.power)
         doppler = np.asarray(out.agg.doppler)
         delay = np.asarray(out.agg.delay)
-        phase = np.asarray(out.agg.phase)
+        phase = np.asarray(out.agg.phase, np.float64) + np.asarray(out.agg.phase_lo, np.float64)
         times = np.asarray(batch.times)
         for p in range(emit.shape[0]):
             for i in np.flatnonzero(emit[p]):

@@ -211,7 +211,7 @@ def run(
             h_power = np.asarray(lane.power)
             h_doppler = np.asarray(lane.doppler)
             h_delay = np.asarray(lane.delay)
-            h_phase = np.asarray(lane.phase)
+            h_phase = np.asarray(lane.phase, np.float64) + np.asarray(lane.phase_lo, np.float64)
             n_resp = 0
             for i in emit_idx:
                 rx = world.receivers[int(h_received[i])]

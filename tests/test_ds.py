@@ -80,3 +80,39 @@ def test_mod_two_pi_range():
     vals = dsm.mod_two_pi(dsm.from_f64(np.array([0.0, 6.28318, 1e5, -3.0, 12.56637])))
     out = dsm.to_f64(vals)
     assert (out >= 0.0).all() and (out < 2 * np.pi + 1e-6).all()
+
+
+def test_sqrt():
+    v = RNG.uniform(1e-12, 1e12, 512)
+    got = dsm.to_f64(dsm.sqrt(dsm.from_f64(v)))
+    np.testing.assert_allclose(got, np.sqrt(v), rtol=1e-13)
+    # non-positive inputs return 0 (clamped discriminants)
+    z = dsm.to_f64(dsm.sqrt(dsm.from_f64(np.array([0.0, -1.0]))))
+    np.testing.assert_array_equal(z, [0.0, 0.0])
+
+
+def test_v3_ops_vs_f64():
+    a = RNG.uniform(-1e3, 1e3, (3, 256))
+    b = RNG.uniform(-1e3, 1e3, (3, 256))
+    av = dsm.DS3(*(dsm.from_f64(a[i]) for i in range(3)))
+    bv = dsm.DS3(*(dsm.from_f64(b[i]) for i in range(3)))
+    np.testing.assert_allclose(
+        dsm.to_f64(dsm.v3_dot(av, bv)), (a * b).sum(axis=0), rtol=1e-11
+    )
+    cr = dsm.v3_cross(av, bv)
+    want = np.cross(a.T, b.T).T
+    # cancellation in x*y - y*x inflates RELATIVE error when the result is
+    # small; the ds absolute error stays ~2^-48 of the term magnitudes
+    for i, c in enumerate(cr):
+        np.testing.assert_allclose(dsm.to_f64(c), want[i], rtol=1e-10, atol=1e-5)
+
+
+def test_v3_normalize_unit():
+    a = RNG.uniform(-5, 5, (3, 256))
+    av = dsm.DS3(*(dsm.from_f64(a[i]) for i in range(3)))
+    n = dsm.v3_normalize(av)
+    mag = sum(dsm.to_f64(c) ** 2 for c in n)
+    np.testing.assert_allclose(mag, 1.0, rtol=1e-13)
+    want = a / np.linalg.norm(a, axis=0, keepdims=True)
+    for i, c in enumerate(n):
+        np.testing.assert_allclose(dsm.to_f64(c), want[i], rtol=1e-12, atol=1e-13)
