@@ -97,6 +97,7 @@ def build(args):
         cluster_size=args.cluster_size,
         ray_tile=args.ray_tile,
         refine=args.refine,
+        replay_cap=args.replay_cap,
     )
     return base, batch, cfg, spec, int(base.tri_verts.shape[0])
 
@@ -119,6 +120,10 @@ def main():
         action=argparse.BooleanOptionalAction,
         default=True,
         help="double-single path replay ON (the production 1e-6 power/phase config)",
+    )
+    ap.add_argument(
+        "--replay-cap", type=int, default=16384,
+        help="compact received lanes and replay only this many (0 = all)",
     )
     ap.add_argument(
         "--cpi256",

@@ -16,7 +16,7 @@ def _cmd_run(args) -> int:
 
     world, params = load_world(args.scene)
     if args.cpi:
-        run_all_cpi(world, params, accel=args.accel)
+        run_all_cpi(world, params, accel=args.accel, refine=args.refine)
     else:
         run(world, params, verbose=args.verbose)
     total = sum(len(rx.responses) for rx in world.receivers)
@@ -55,7 +55,11 @@ def main(argv=None) -> int:
     run_p.add_argument("scene", help=".json / .toml / .xml scene document")
     run_p.add_argument("--cpi", action="store_true", help="batched whole-CPI path")
     run_p.add_argument("--accel", choices=("brute", "cluster"), default="brute")
-    run_p.add_argument("--out", help="write responses to this .npz")
+    run_p.add_argument(
+        "--refine", action="store_true",
+        help="double-single path replay (f32 engine at the 1e-6 power/phase contract)",
+    )
+    run_p.add_argument("--out", help="write responses to this .npz or .h5")
     run_p.add_argument("--verbose", action="store_true")
     run_p.set_defaults(fn=_cmd_run)
 

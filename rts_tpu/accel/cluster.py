@@ -110,6 +110,13 @@ def cluster_aabbs(tri_p0, tri_e0, tri_e1, cluster_size: int, xp=np, tri_target=N
         hi = lambda v: xp.where(pad, -big, v)
         mn = xp.minimum(xp.minimum(lo(v0).min(axis=1), lo(v1).min(axis=1)), lo(v2).min(axis=1))
         mx = xp.maximum(xp.maximum(hi(v0).max(axis=1), hi(v1).max(axis=1)), hi(v2).max(axis=1))
+        # all-padding clusters come out inverted (mn > mx) — rewrite to the
+        # self-rejecting [+inf, +inf] sentinel (see ops/cluster_trace
+        # _slab_overlap: min/max would un-invert a reversed box)
+        inv = mn > mx
+        inf = xp.asarray(float("inf"), tri_p0.dtype)
+        mn = xp.where(inv, inf, mn)
+        mx = xp.where(inv, inf, mx)
         return mn, mx
     mn = xp.minimum(xp.minimum(v0.min(axis=1), v1.min(axis=1)), v2.min(axis=1))
     mx = xp.maximum(xp.maximum(v0.max(axis=1), v1.max(axis=1)), v2.max(axis=1))

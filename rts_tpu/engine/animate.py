@@ -189,7 +189,9 @@ def animate_packed(
     np0 = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
     tri_pack = jnp.stack([*n, *c1, *c0, *e1, *e0, np0], axis=0)
 
-    # cluster AABBs from the corner components (padding tris inverted)
+    # cluster AABBs from the corner components; all-padding clusters get
+    # the self-rejecting [+inf, +inf] sentinel (inverted boxes would be
+    # un-inverted by the slab test's min/max — see ops/cluster_trace)
     t = v.shape[1]
     c_count = t // cluster_size
     big = jnp.asarray(3.0e38, v.dtype)
@@ -202,6 +204,10 @@ def animate_packed(
         mxs.append(hi.max(axis=(0, 2)))
     aabb_mn = jnp.stack(mns, axis=1)
     aabb_mx = jnp.stack(mxs, axis=1)
+    inv_box = aabb_mn > aabb_mx
+    inf = jnp.asarray(float("inf"), v.dtype)
+    aabb_mn = jnp.where(inv_box, inf, aabb_mn)
+    aabb_mx = jnp.where(inv_box, inf, aabb_mx)
 
     return ClusterScene(
         tri_pack=tri_pack,
@@ -228,14 +234,31 @@ def attitude_rotations(
     precision (unlike the float-narrowed t=0 angles).
     """
     p, nt = len(times), len(targets)
+    times = np.asarray(times, np.float64)
     out = np.tile(np.eye(3), (p, max(nt, 1), 1, 1))
+    live = times > start_time
     for j, targ in enumerate(targets):
-        if not targ.attitude.is_rotating:
+        if not targ.attitude.is_rotating or not live.any():
             continue
-        for i, t in enumerate(times):
-            if t > start_time:
-                yaw, pitch, roll = targ.attitude.ypr(float(t))
-                out[i, j] = rot_zyx(np.float64(yaw), np.float64(pitch), np.float64(roll))
+        # constant-rate attitude: vectorise rot_zyx over the pulse axis
+        yaw, pitch, roll = (np.broadcast_to(a, times.shape) for a in targ.attitude.ypr(times))
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        cr, sr = np.cos(roll), np.sin(roll)
+        rz = np.zeros((p, 3, 3))
+        rz[:, 0, 0], rz[:, 0, 1] = cy, -sy
+        rz[:, 1, 0], rz[:, 1, 1] = sy, cy
+        rz[:, 2, 2] = 1.0
+        ry = np.zeros((p, 3, 3))
+        ry[:, 0, 0], ry[:, 0, 2] = cp, sp
+        ry[:, 1, 1] = 1.0
+        ry[:, 2, 0], ry[:, 2, 2] = -sp, cp
+        rx = np.zeros((p, 3, 3))
+        rx[:, 0, 0] = 1.0
+        rx[:, 1, 1], rx[:, 1, 2] = cr, -sr
+        rx[:, 2, 1], rx[:, 2, 2] = sr, cr
+        r = rz @ ry @ rx  # Rz·Ry·Rx (ray_tracer.cpp:156-170)
+        out[live, j] = r[live]
     return out
 
 
@@ -247,12 +270,12 @@ def target_motion(
     """Host-side positions [P, NT, 3] and finite-difference velocities
     [P, NT, 3] (ray_tracer.cpp:941-948)."""
     p, nt = len(times), len(targets)
+    times = np.asarray(times, np.float64)
     pos = np.zeros((p, max(nt, 1), 3))
     vel = np.zeros((p, max(nt, 1), 3))
     for j, targ in enumerate(targets):
-        for i, t in enumerate(times):
-            a = np.asarray(targ.GetPosition(float(t)), np.float64).reshape(3)
-            b = np.asarray(targ.GetPosition(float(t) + sample_time), np.float64).reshape(3)
-            pos[i, j] = a
-            vel[i, j] = (b - a) / sample_time
+        a = np.asarray(targ.GetPosition(times), np.float64).reshape(p, 3)
+        b = np.asarray(targ.GetPosition(times + sample_time), np.float64).reshape(p, 3)
+        pos[:, j] = a
+        vel[:, j] = (b - a) / sample_time
     return pos, vel

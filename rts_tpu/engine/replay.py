@@ -206,14 +206,63 @@ def replay_refine(
     Returns ``res`` with refined ray_length (+ ray_length_lo), power and
     doppler on received lanes; all other lanes and all discrete fields
     pass through untouched.
+
+    When ``cfg.replay_cap`` is set (and smaller than the lane count), the
+    received lanes are COMPACTED to the front of a cap-sized block first
+    and only that block is replayed — received counts are typically a few
+    hundred out of ~1e5 lanes, so this makes the replay ~free (measured:
+    full-lane replay cost ~12 ms/pulse at 120k lanes on a v5e chip).
+    Received lanes beyond the cap keep their f32 values.
     """
+    total = res.ray_length.shape[0]
+    cap = min(cfg.replay_cap, total) if cfg.replay_cap else total
+    if cap < total:
+        import jax
+
+        order = jnp.argsort(res.received < 0)  # received lanes first
+        idx = order[:cap]
+        sub = jax.tree.map(lambda a: a[idx], res)
+        out = _replay_core(
+            base, sub, cfg, extras, rot=rot, pos=pos, vel=vel, rx_geom=rx_geom,
+            tx_origin=tx_origin, tx_span=tx_span, fan_block=fan_block,
+            fan_offset=fan_offset, lane_ids=idx,
+        )
+        return res._replace(
+            ray_length=res.ray_length.at[idx].set(out.ray_length),
+            ray_length_lo=res.ray_length_lo.at[idx].set(out.ray_length_lo),
+            power=res.power.at[idx].set(out.power),
+            doppler=res.doppler.at[idx].set(out.doppler),
+        )
+    return _replay_core(
+        base, res, cfg, extras, rot=rot, pos=pos, vel=vel, rx_geom=rx_geom,
+        tx_origin=tx_origin, tx_span=tx_span, fan_block=fan_block,
+        fan_offset=fan_offset, lane_ids=None,
+    )
+
+
+def _replay_core(
+    base,
+    res,  # TraceResult rows to replay ([L] = full or compacted block)
+    cfg: TraceConfig,
+    extras,
+    *,
+    rot,
+    pos,
+    vel,
+    rx_geom,
+    tx_origin,
+    tx_span,
+    fan_block: int,
+    fan_offset,
+    lane_ids,  # None (rows ARE lanes 0..L-1) or [L] original lane ids
+):
     lanes = res.ray_length.shape[0]
     f32 = jnp.float32
     nt = base.target_refl.shape[0]
     four_pi = ds.from_f64(4.0 * PI)
     one = ds.ds(jnp.ones((lanes,), f32))
 
-    lane = jnp.arange(lanes, dtype=jnp.int32)
+    lane = jnp.arange(lanes, dtype=jnp.int32) if lane_ids is None else lane_ids.astype(jnp.int32)
     slot = lane // fan_block
     f_idx = fan_offset + (lane % fan_block)
 

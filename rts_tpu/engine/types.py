@@ -142,6 +142,10 @@ class TraceConfig:
     # power/phase contract (engine/replay.py).  Requires a SceneBase
     # built with with_lo=True and a PulseBatch carrying RefineExtras.
     refine: bool = False
+    # 0 = replay every lane; N = compact received lanes to the front and
+    # replay only an N-row block (received counts are typically a few
+    # hundred of ~1e5 lanes; overflowing lanes keep their f32 values).
+    replay_cap: int = 0
 
     @classmethod
     def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":

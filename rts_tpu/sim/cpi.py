@@ -37,6 +37,7 @@ def prepare_cpi(
     ray_tile: int = 256,
     interpret: bool = False,
     refine: bool = False,
+    replay_cap: int = 0,
 ):
     """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI.
 
@@ -71,37 +72,59 @@ def prepare_cpi(
     rot = attitude_rotations(world.targets, times, params.start_time)
     pos, vel = target_motion(world.targets, times, params.sample_time)
 
-    # per-pulse tx/rx geometry
-    txo = np.stack([np.asarray(trans.GetPosition(float(t)), np.float64).reshape(3) for t in times])
-    txd = np.stack([[float(a) for a in trans.GetRotation(float(t))] for t in times])
-    rx_pos = np.zeros((pulse_count, num_rx, 3))
-    geo_leaves = {k: [] for k in ("centre", "radius", "min_theta", "max_theta", "min_phi", "max_phi")}
+    # per-pulse tx/rx geometry — fully vectorised over the pulse axis
+    # (paths/rotations evaluate on time ARRAYS; no per-pulse Python loop,
+    # so a 4096-pulse CPI preps in milliseconds)
+    txo = np.asarray(trans.GetPosition(times), np.float64).reshape(pulse_count, 3)
+    tx_az, tx_el = trans.GetRotation(times)
+    txd = np.stack([np.broadcast_to(tx_az, times.shape), np.broadcast_to(tx_el, times.shape)], axis=-1).astype(np.float64)
     spheres = np.array([rx.GetRxSphere() for rx in world.receivers], np.float64).reshape(num_rx, 3)
-    for i, t in enumerate(times):
-        pos_i = np.array(
-            [np.asarray(rx.GetPosition(float(t)), np.float64).reshape(3) for rx in world.receivers]
-        ).reshape(num_rx, 3)
-        rot_i = [tuple(float(a) for a in rx.GetRotation(float(t))) for rx in world.receivers]
+    if num_rx:
+        rx_pos = np.stack(
+            [np.asarray(rx.GetPosition(times), np.float64).reshape(pulse_count, 3) for rx in world.receivers],
+            axis=1,
+        )  # [P, NR, 3]
+        rx_az = np.stack(
+            [np.broadcast_to(rx.GetRotation(times)[0], times.shape) for rx in world.receivers], axis=1
+        ).astype(np.float64)
+        rx_el = np.stack(
+            [np.broadcast_to(rx.GetRotation(times)[1], times.shape) for rx in world.receivers], axis=1
+        ).astype(np.float64)
         g = rx_sphere_geometry(
-            pos_i,
-            np.array([r[0] for r in rot_i]),
-            np.array([r[1] for r in rot_i]),
-            spheres[:, 0],
-            spheres[:, 1],
-            spheres[:, 2],
+            rx_pos.reshape(-1, 3),
+            rx_az.reshape(-1),
+            rx_el.reshape(-1),
+            np.tile(spheres[:, 0], pulse_count),
+            np.tile(spheres[:, 1], pulse_count),
+            np.tile(spheres[:, 2], pulse_count),
             strict_parity=True,
         )
-        rx_pos[i] = pos_i
-        for k in geo_leaves:
-            geo_leaves[k].append(getattr(g, k))
+        geo = {
+            "centre": g.centre.reshape(pulse_count, num_rx, 3),
+            "radius": g.radius.reshape(pulse_count, num_rx),
+            "min_theta": g.min_theta.reshape(pulse_count, num_rx),
+            "max_theta": g.max_theta.reshape(pulse_count, num_rx),
+            "min_phi": g.min_phi.reshape(pulse_count, num_rx),
+            "max_phi": g.max_phi.reshape(pulse_count, num_rx),
+        }
+    else:
+        rx_pos = np.zeros((pulse_count, 0, 3))
+        geo = {
+            "centre": np.zeros((pulse_count, 0, 3)),
+            "radius": np.zeros((pulse_count, 0)),
+            "min_theta": np.zeros((pulse_count, 0)),
+            "max_theta": np.zeros((pulse_count, 0)),
+            "min_phi": np.zeros((pulse_count, 0)),
+            "max_phi": np.zeros((pulse_count, 0)),
+        }
 
     rx_geom = RxGeomDevice(
-        centre=jnp.asarray(np.stack(geo_leaves["centre"]), dtype),
-        radius=jnp.asarray(np.stack(geo_leaves["radius"]), dtype),
-        min_theta=jnp.asarray(np.stack(geo_leaves["min_theta"]), dtype),
-        max_theta=jnp.asarray(np.stack(geo_leaves["max_theta"]), dtype),
-        min_phi=jnp.asarray(np.stack(geo_leaves["min_phi"]), dtype),
-        max_phi=jnp.asarray(np.stack(geo_leaves["max_phi"]), dtype),
+        centre=jnp.asarray(geo["centre"], dtype),
+        radius=jnp.asarray(geo["radius"], dtype),
+        min_theta=jnp.asarray(geo["min_theta"], dtype),
+        max_theta=jnp.asarray(geo["max_theta"], dtype),
+        min_phi=jnp.asarray(geo["min_phi"], dtype),
+        max_phi=jnp.asarray(geo["max_phi"], dtype),
     )
 
     extras = None
@@ -161,6 +184,7 @@ def prepare_cpi(
         ray_tile=ray_tile,
         interpret=interpret,
         refine=refine,
+        replay_cap=replay_cap,
     )
     spec = CpiSpec(
         tx_span=trans.GetTxSpan(),

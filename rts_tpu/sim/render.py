@@ -48,45 +48,110 @@ def synthesize_pulse(
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
     chirp_rate: float = 0.0,
+    wave=None,  # RadarSignal — overrides pulse_length/chirp_rate (stored OK)
     xp=jnp,
 ):
     """Complex baseband fast-time samples [Ns] for one pulse.
 
-    Rectangular envelope of ``pulse_length``; nonzero ``chirp_rate`` adds
-    the LFM quadratic phase exp(j*pi*k*rel^2) (pulse compression happens
-    in ``pulse_compress``).  Static shapes: every response lane
-    contributes, masked lanes contribute zero.
+    Default: rectangular envelope of ``pulse_length`` with optional LFM
+    quadratic phase.  Passing ``wave`` uses its complex envelope instead
+    — including STORED sampled waveforms (linear interpolation onto the
+    grid).  Static shapes: every response lane contributes, masked lanes
+    contribute zero.
     """
     ts = xp.asarray(grid.window_start) + xp.arange(grid.num_samples) / grid.sample_rate
     rel = ts[None, :] - delay[:, None]  # [K, Ns] time since path arrival
-    envelope = ((rel >= 0.0) & (rel < pulse_length)).astype(power.dtype)
     volt = xp.sqrt(xp.maximum(power, 0.0) * tx_power)
-    phs = phase[:, None] + 2.0 * xp.pi * doppler[:, None] * rel
-    if chirp_rate:
-        phs = phs + xp.pi * chirp_rate * rel**2
-    contrib = volt[:, None] * envelope * xp.exp(1j * phs)
+    carrier_phs = xp.exp(1j * (phase[:, None] + 2.0 * xp.pi * doppler[:, None] * rel))
+    if wave is not None:
+        env = wave.envelope(rel, xp=xp)
+    else:
+        env = ((rel >= 0.0) & (rel < pulse_length)).astype(power.dtype)
+        if chirp_rate:
+            env = env * xp.exp(1j * (xp.pi * chirp_rate) * rel**2)
+    contrib = volt[:, None] * env * carrier_phs
     contrib = xp.where(valid[:, None], contrib, 0.0)
     return contrib.sum(axis=0)
 
 
-def waveform_replica(grid: RenderGrid, *, pulse_length: float, chirp_rate: float = 0.0, xp=jnp):
+def waveform_replica(grid: RenderGrid, *, pulse_length: float = 1e-6, chirp_rate: float = 0.0, wave=None, xp=jnp):
     """Unit-amplitude transmit replica on the fast-time grid (delay 0)."""
     rel = xp.arange(grid.num_samples) / grid.sample_rate
+    if wave is not None:
+        return wave.envelope(rel, xp=xp)
     env = (rel < pulse_length).astype(xp.float32 if xp is jnp else float)
     phs = xp.pi * chirp_rate * rel**2
     return env * xp.exp(1j * phs)
 
 
-def pulse_compress(samples, replica, xp=jnp):
+def taylor_window(n: int, nbar: int = 4, sll_db: float = 35.0, xp=np):
+    """Taylor taper: near-uniform aperture efficiency with the first
+    ``nbar`` sidelobes held at -``sll_db`` dB (the standard radar range
+    window).  Classic closed form (no scipy dependency in the image)."""
+    a = np.arccosh(10.0 ** (sll_db / 20.0)) / np.pi
+    sigma2 = nbar**2 / (a**2 + (nbar - 0.5) ** 2)
+    m = np.arange(1, nbar)
+    f = np.zeros(nbar - 1)
+    for mi in range(1, nbar):
+        num = np.prod(1.0 - (mi**2 / sigma2) / (a**2 + (m - 0.5) ** 2))
+        den = np.prod([1.0 - mi**2 / k**2 for k in range(1, nbar) if k != mi])
+        f[mi - 1] = ((-1) ** (mi + 1) * num) / (2.0 * den)
+    x = (np.arange(n) - (n - 1) / 2.0) / n
+    w = 1.0 + 2.0 * sum(f[mi - 1] * np.cos(2.0 * np.pi * mi * x) for mi in range(1, nbar))
+    return xp.asarray(w / w.max())
+
+
+def hamming_window(n: int, xp=np):
+    w = 0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / (n - 1))
+    return xp.asarray(w)
+
+
+def _band_weighting(replica_np: np.ndarray, window: str, xp):
+    """Frequency-domain sidelobe weighting over the replica's OWN band.
+
+    The occupied band is detected from the replica's power spectrum (so
+    the weighting is correct for any waveform convention — this library's
+    LFM sweeps [0, B] at baseband, stored waveforms can sit anywhere):
+    bins within -20 dB of the spectral peak, taken contiguous on the
+    fftshifted axis, carry the taper; everything else is zeroed (the
+    matched filter already bandlimits)."""
+    n = replica_np.shape[-1]
+    h = np.fft.fft(replica_np, n)
+    mag2 = np.fft.fftshift(np.abs(h) ** 2)
+    inband = mag2 >= mag2.max() * 1e-2  # -20 dB occupancy
+    first, last = int(np.argmax(inband)), n - 1 - int(np.argmax(inband[::-1]))
+    pos = np.clip((np.arange(n) - first) / max(last - first, 1), 0.0, 1.0)
+    if window == "taylor":
+        taper = np.interp(pos, np.linspace(0, 1, 4096), np.asarray(taylor_window(4096, xp=np)))
+    elif window == "hamming":
+        taper = 0.54 - 0.46 * np.cos(2.0 * np.pi * pos)
+    else:
+        raise ValueError(f"unknown range window {window!r}")
+    w = np.zeros(n)
+    w[first : last + 1] = taper[first : last + 1]
+    return xp.asarray(np.fft.ifftshift(w))
+
+
+def pulse_compress(samples, replica, xp=jnp, *, window: str | None = None,
+                   sample_rate: float | None = None, bandwidth: float | None = None):
     """Matched filter along fast time via FFT correlation.
 
     ``samples``: [..., Ns]; output the same shape, peak at the path's
     leading-edge bin (circular correlation — the receive window must be
     long enough that wrap-around energy is out of the scene).
+
+    ``window``: optional range-sidelobe taper ("taylor" or "hamming")
+    applied across the replica's occupied band in the frequency domain;
+    trades mainlobe width for the first sidelobes dropping from -13 dB
+    (rect/LFM) to the taper's design level.  ``sample_rate``/``bandwidth``
+    are accepted for API symmetry; the band itself is detected from the
+    replica spectrum (correct for any waveform convention).
     """
     n = samples.shape[-1]
     s = xp.fft.fft(samples, axis=-1)
     h = xp.conj(xp.fft.fft(replica, n))
+    if window is not None:
+        h = h * _band_weighting(np.asarray(replica), window, xp)
     return xp.fft.ifft(s * h, axis=-1)
 
 
@@ -101,6 +166,7 @@ def synthesize_cpi(
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
     chirp_rate: float = 0.0,
+    wave=None,
     xp=jnp,
 ):
     """Slow-time x fast-time matrix [P, Ns] for a CPI."""
@@ -110,13 +176,13 @@ def synthesize_cpi(
         p, d, ph, f, v = args
         return synthesize_pulse(
             p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length,
-            chirp_rate=chirp_rate, xp=xp,
+            chirp_rate=chirp_rate, wave=wave, xp=xp,
         )
 
     if xp is jnp:
         return jax.vmap(lambda p, d, ph, f, v: synthesize_pulse(
             p, d, ph, f, v, grid, tx_power=tx_power, pulse_length=pulse_length,
-            chirp_rate=chirp_rate, xp=xp,
+            chirp_rate=chirp_rate, wave=wave, xp=xp,
         ))(power, delay, phase, doppler, valid)
     return np.stack([one(t) for t in zip(power, delay, phase, doppler, valid)])
 
@@ -170,7 +236,9 @@ def render_cpi_result(
     tx_power: float = 1.0,
     pulse_length: float = 1e-6,
     chirp_rate: float = 0.0,
+    wave=None,
     compress: bool = False,
+    range_window: str | None = None,
 ):
     """Render one receiver's range-Doppler map from a traced CPI.
 
@@ -191,10 +259,15 @@ def render_cpi_result(
         tx_power=tx_power,
         pulse_length=pulse_length,
         chirp_rate=chirp_rate,
+        wave=wave,
     )
     if compress:
-        replica = waveform_replica(grid, pulse_length=pulse_length, chirp_rate=chirp_rate)
-        samples = pulse_compress(samples, replica)
+        replica = waveform_replica(grid, pulse_length=pulse_length, chirp_rate=chirp_rate, wave=wave)
+        bw = wave.bandwidth if wave is not None else abs(chirp_rate) * pulse_length
+        samples = pulse_compress(
+            samples, replica, window=range_window,
+            sample_rate=grid.sample_rate, bandwidth=bw,
+        )
     return range_doppler_map(samples), samples
 
 

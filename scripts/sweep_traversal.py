@@ -60,17 +60,17 @@ def main():
 
     # (label, rays, cs, gs, super, rt, st, refine)
     configs = [
-        ("r1-default", 31, 1024, 16, 1, 512, 4, False),
-        ("r1+refine", 31, 1024, 16, 1, 512, 4, True),
-        ("cs256-3lvl", 31, 256, 16, 16, 512, 4, False),
-        ("cs256-3lvl-st8", 31, 256, 16, 16, 512, 8, False),
-        ("cs512-3lvl-st8", 31, 512, 16, 8, 512, 8, False),
-        ("cs256-gs32", 31, 256, 32, 8, 512, 8, False),
-        ("fan63-best1024", 63, 1024, 16, 1, 512, 4, False),
-        ("fan63-cs256", 63, 256, 16, 16, 512, 8, False),
+        ("f63-cs1024-3lvl", 63, 1024, 16, 8, 512, 8, False),  # round-2 best
+        ("f63-cs1024-gs8s8", 63, 1024, 8, 8, 512, 8, False),
+        ("f63-cs1024-gs16s16", 63, 1024, 16, 16, 512, 8, False),
+        ("f63-cs1024-st4", 63, 1024, 16, 8, 512, 4, False),
+        ("f63-cs2048-3lvl", 63, 2048, 16, 4, 512, 8, False),
+        ("f95-cs1024-3lvl", 95, 1024, 16, 8, 512, 8, False),
+        ("f63-cs1024-rt1024", 63, 1024, 16, 8, 1024, 16, False),
+        ("f63-best+refine", 63, 1024, 16, 8, 512, 8, True),
     ]
     if args.quick:
-        configs = configs[:3]
+        configs = configs[:2]
 
     prepared = {}
     print(f"{'config':22s} {'rays/s':>12s} {'ms/pulse':>9s} {'received':>9s}")
@@ -81,7 +81,7 @@ def main():
             params = Parameters(num_rays=rays, max_refl_depth=2)
             prepared[key] = prepare_cpi(
                 w, params, dtype=jnp.float32, accel="cluster",
-                cluster_size=cs, ray_tile=rt, refine=refine,
+                cluster_size=cs, ray_tile=rt, refine=refine, replay_cap=16384,
             )
         base, batch, cfg, spec = prepared[key]
         cfg = dataclasses.replace(cfg, group_size=gs, super_size=sup, ray_tile=rt, sub_tiles=st)

@@ -32,18 +32,23 @@ def run_clustered(dev, o, d, tmin):
     )
 
 
-def test_slab_overlap_rejects_inverted_boxes():
-    """Padding sentinel boxes [+BIG, -BIG] must never overlap: min/max of
-    (t1, t2) would silently un-invert them for all-nonzero-direction rays,
-    sending padding clusters to the DMA stage with out-of-bounds bases."""
+def test_slab_overlap_rejects_inf_sentinel_boxes():
+    """Padding sentinel boxes must be [+inf, +inf] and self-reject for
+    EVERY direction-sign combination (an inverted [+BIG, -BIG] box would
+    be silently un-inverted by the slab's min/max and send padding
+    clusters to the DMA stage with out-of-bounds bases)."""
     from rts_tpu.ops.cluster_trace import _BIG, _slab_overlap
 
-    o = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 3.0, -2.0]], jnp.float32)
-    d = jnp.asarray([[1.0, 0.5, 0.25], [-1.0, 2.0, 0.5]], jnp.float32)
-    tmin = jnp.zeros(2, jnp.float32)
-    best = jnp.full(2, _BIG, jnp.float32)
-    mn = jnp.full(3, _BIG, jnp.float32)
-    mx = jnp.full(3, -_BIG, jnp.float32)
+    o = jnp.asarray([[0.0, 0.0, 0.0]] * 4, jnp.float32)
+    d = jnp.asarray(
+        [[1.0, 0.5, 0.25], [-1.0, 2.0, 0.5], [-1.0, -2.0, -0.5], [1.0, 0.0, 0.5]],
+        jnp.float32,
+    )
+    tmin = jnp.zeros(4, jnp.float32)
+    best = jnp.full(4, _BIG, jnp.float32)
+    inf = jnp.float32(float("inf"))
+    mn = jnp.full(3, inf)
+    mx = jnp.full(3, inf)
     assert not bool(_slab_overlap(o, d, tmin, best, mn, mx).any())
     # a real box containing the first ray's path still overlaps
     mn2 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)

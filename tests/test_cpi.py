@@ -71,3 +71,30 @@ def test_256_pulse_cpi_range_doppler():
     exp_row = 128 + int(round(fd / (1000.0 / 256)))
     assert abs(col - exp_col) <= 1
     assert abs(row - exp_row) <= 1
+
+
+def test_large_cpi_prep_vectorized():
+    """Host-side CPI prep has no per-pulse Python loop: a 4096-pulse CPI
+    preps in under ~seconds and traces correctly (VERDICT r1 item 8)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rts_tpu import Parameters
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+
+    from test_driver import make_world
+
+    w = make_world(num_pulses=4096, rotating=True, target_speed=30.0)
+    t0 = time.perf_counter()
+    base, batch, cfg, spec = prepare_cpi(w, Parameters(num_rays=2, max_refl_depth=2), dtype=jnp.float32)
+    prep_s = time.perf_counter() - t0
+    assert prep_s < 30.0, f"host prep took {prep_s:.1f}s"
+    assert batch.times.shape == (4096,)
+    out = trace_cpi(base, batch, cfg, spec)
+    rec = np.asarray(out.received)
+    assert rec.shape[0] == 4096
+    # pulse geometry must actually vary across the CPI (moving/rotating)
+    assert not np.allclose(np.asarray(batch.pos[0]), np.asarray(batch.pos[-1]))

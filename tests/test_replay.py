@@ -166,6 +166,30 @@ class TestReplayInternals:
         rlds = (np.asarray(rds.ray_length, np.float64) + np.asarray(rds.ray_length_lo, np.float64))[got]
         assert np.abs(rlds - rl64).max() < 1e-7  # metres, over ~2 km
 
+    def test_replay_cap_compaction_identical(self):
+        """Compacted replay (replay_cap >= received count) must produce
+        exactly the full replay's refined values."""
+        import dataclasses
+
+        w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+        params = Parameters(num_rays=5, max_refl_depth=2)
+        base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float32, refine=True)
+        full = trace_cpi(base, batch, cfg, spec)
+        capped = trace_cpi(base, batch, dataclasses.replace(cfg, replay_cap=64), spec)
+        assert int((np.asarray(full.received) >= 0).sum()) <= 64 * 2  # cap holds per pulse
+        for name in ("power", "doppler", "delay", "received"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, name)), np.asarray(getattr(capped, name)), err_msg=name
+            )
+        # ds results are shape-compiled: the approximate term of ds.mul may
+        # FMA-fuse differently between the [cap] and [lanes] graphs, so the
+        # lo parts carry ~1e-9-rad compilation noise — assert the combined
+        # phase to well under the 1e-6 contract instead of bitwise.
+        ph_f = np.asarray(full.agg.phase, np.float64) + np.asarray(full.agg.phase_lo, np.float64)
+        ph_c = np.asarray(capped.agg.phase, np.float64) + np.asarray(capped.agg.phase_lo, np.float64)
+        got = np.asarray(full.received) >= 0
+        np.testing.assert_allclose(ph_c[got], ph_f[got], rtol=0, atol=1e-7)
+
     def test_sharded_refine_bit_identical(self):
         """Replay under shard_map: per-lane ds math is elementwise, so the
         sharded result stays bit-identical to single-device."""
