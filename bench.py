@@ -96,6 +96,7 @@ def build(args):
         accel=args.accel,
         cluster_size=args.cluster_size,
         ray_tile=args.ray_tile,
+        candidates=args.candidates,
         refine=args.refine,
         replay_cap=args.replay_cap,
     )
@@ -113,6 +114,10 @@ def main():
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=1024)
     ap.add_argument("--ray-tile", type=int, default=512)
+    ap.add_argument(
+        "--candidates", type=int, default=64,
+        help="per-tile candidate-list width (two-phase traversal); 0 = hierarchical sweep",
+    )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")
     ap.add_argument(
@@ -197,7 +202,8 @@ def main():
         _, stats = closest_hit_clustered(
             origin, fan, tmin, sc.tri_pack, sc.aabb_mn, sc.aabb_mx, batch.tx_origin[0],
             cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
-            group_size=cfg.group_size, sub_tiles=cfg.sub_tiles, with_stats=True,
+            group_size=cfg.group_size, sub_tiles=cfg.sub_tiles,
+            candidates=cfg.candidates, with_stats=True,
         )
         stats = np.asarray(stats)
         n_groups = -(-(n_tris // cfg.cluster_size) // cfg.group_size)

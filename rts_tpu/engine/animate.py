@@ -47,6 +47,13 @@ class SceneBase(NamedTuple):
     tri_corner_normals_lo: jnp.ndarray = None
     target_refl_lo: jnp.ndarray = None
     target_refr_lo: jnp.ndarray = None
+    # Per-cluster, per-target BASE AABBs ([C, NT, 3] + validity [C, NT]):
+    # the O(C*NT) corner-transform refit replaces the per-pulse O(T)
+    # min/max reduction over all animated vertices.  None unless built
+    # with ``cluster_size=`` (the clustered engine).
+    cl_mn: jnp.ndarray = None
+    cl_mx: jnp.ndarray = None
+    cl_valid: jnp.ndarray = None
 
     @property
     def num_targets(self) -> int:
@@ -60,7 +67,9 @@ def _lo32(a64) -> jnp.ndarray:
     return jnp.asarray((a64 - hi.astype(np.float64)).astype(np.float32))
 
 
-def scene_base(scene: SceneArrays, dtype=jnp.float32, with_lo: bool = False) -> SceneBase:
+def scene_base(
+    scene: SceneArrays, dtype=jnp.float32, with_lo: bool = False, cluster_size: int = 0
+) -> SceneBase:
     tv = np.asarray(scene.tri_verts)
     lo = {}
     if with_lo:
@@ -69,6 +78,29 @@ def scene_base(scene: SceneArrays, dtype=jnp.float32, with_lo: bool = False) -> 
             tri_corner_normals_lo=_lo32(scene.tri_normals),
             target_refl_lo=_lo32(scene.target_refl_coeff),
             target_refr_lo=_lo32(scene.target_refr_index),
+        )
+    if cluster_size:
+        # Per-cluster, per-target base boxes over the SAME dtype-rounded
+        # vertices the per-pulse pack transform consumes, so the corner
+        # refit (animate_packed) stays conservative.
+        tv_r = tv.astype(np.dtype(dtype)).astype(np.float64)  # [T, 3, 3]
+        tt = np.asarray(scene.tri_target)
+        nt = max(len(scene.target_refl_coeff), 1)
+        c = tv.shape[0] // cluster_size
+        pts = tv_r.reshape(c, cluster_size, 3, 3)
+        tid = tt.reshape(c, cluster_size)
+        mn = np.full((c, nt, 3), np.inf)
+        mx = np.full((c, nt, 3), -np.inf)
+        valid = np.zeros((c, nt), bool)
+        for j in range(nt):
+            m = (tid == j)[..., None, None]  # [c, cs, 1, 1]
+            mn[:, j] = np.where(m, pts, np.inf).min(axis=(1, 2))
+            mx[:, j] = np.where(m, pts, -np.inf).max(axis=(1, 2))
+            valid[:, j] = (tid == j).any(axis=1)
+        lo.update(
+            cl_mn=jnp.asarray(mn, dtype),
+            cl_mx=jnp.asarray(mx, dtype),
+            cl_valid=jnp.asarray(valid),
         )
     return SceneBase(
         tri_verts=jnp.asarray(tv, dtype),
@@ -189,25 +221,63 @@ def animate_packed(
     np0 = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
     tri_pack = jnp.stack([*n, *c1, *c0, *e1, *e0, np0], axis=0)
 
-    # cluster AABBs from the corner components; all-padding clusters get
-    # the self-rejecting [+inf, +inf] sentinel (inverted boxes would be
-    # un-inverted by the slab test's min/max — see ops/cluster_trace)
-    t = v.shape[1]
-    c_count = t // cluster_size
     big = jnp.asarray(3.0e38, v.dtype)
-    mns, mxs = [], []
-    for axis in range(3):
-        comps = jnp.stack([p0[axis], p1[axis], p2[axis]], axis=0)  # [3, T]
-        lo = jnp.where(pad[None, :], big, comps).reshape(3, c_count, cluster_size)
-        hi = jnp.where(pad[None, :], -big, comps).reshape(3, c_count, cluster_size)
-        mns.append(lo.min(axis=(0, 2)))
-        mxs.append(hi.max(axis=(0, 2)))
-    aabb_mn = jnp.stack(mns, axis=1)
-    aabb_mx = jnp.stack(mxs, axis=1)
-    inv_box = aabb_mn > aabb_mx
     inf = jnp.asarray(float("inf"), v.dtype)
-    aabb_mn = jnp.where(inv_box, inf, aabb_mn)
-    aabb_mx = jnp.where(inv_box, inf, aabb_mx)
+    if base.cl_mn is not None:
+        # Corner refit: transform the per-cluster per-target BASE boxes by
+        # the rigid motion — O(C*NT) instead of a min/max reduction over
+        # all T animated vertices.  For box [mn, mx] under x -> R x + s,
+        # the tight bound of the transformed box is
+        #   mn'_i = sum_j min(R_ij mn_j, R_ij mx_j) + s_i  (and max for mx'),
+        # conservative for the geometry inside (box >= hull of contents).
+        rot_d = rot.astype(dtype)
+        rp = jnp.maximum(rot_d, 0.0)
+        rn = jnp.minimum(rot_d, 0.0)
+        cmn = jnp.where(base.cl_valid[..., None], base.cl_mn, 0.0)
+        cmx = jnp.where(base.cl_valid[..., None], base.cl_mx, 0.0)
+        new_mn = (
+            jnp.einsum("tij,ctj->cti", rp, cmn)
+            + jnp.einsum("tij,ctj->cti", rn, cmx)
+            + pos_t[None]
+        )
+        new_mx = (
+            jnp.einsum("tij,ctj->cti", rp, cmx)
+            + jnp.einsum("tij,ctj->cti", rn, cmn)
+            + pos_t[None]
+        )
+        # dilate by the f32 transform rounding bound so the box still
+        # contains every per-triangle-transformed vertex (the pack path
+        # rounds each mul/add independently); ~1e-5 relative is >> any
+        # few-ulp discrepancy and culling-negligible
+        span = jnp.abs(cmx - cmn).max(axis=-1, keepdims=True)
+        eps = 1e-5 * (jnp.abs(new_mn) + jnp.abs(new_mx) + span) + 1e-4
+        new_mn = new_mn - eps
+        new_mx = new_mx + eps
+        vmask = base.cl_valid[..., None]
+        aabb_mn = jnp.min(jnp.where(vmask, new_mn, big), axis=1)  # [C, 3]
+        aabb_mx = jnp.max(jnp.where(vmask, new_mx, -big), axis=1)
+        none_valid = ~jnp.any(base.cl_valid, axis=1)[:, None]
+        aabb_mn = jnp.where(none_valid, inf, aabb_mn)
+        aabb_mx = jnp.where(none_valid, inf, aabb_mx)
+    else:
+        # cluster AABBs from the corner components; all-padding clusters
+        # get the self-rejecting [+inf, +inf] sentinel (inverted boxes
+        # would be un-inverted by the slab test's min/max — see
+        # ops/cluster_trace)
+        t = v.shape[1]
+        c_count = t // cluster_size
+        mns, mxs = [], []
+        for axis in range(3):
+            comps = jnp.stack([p0[axis], p1[axis], p2[axis]], axis=0)  # [3, T]
+            lo = jnp.where(pad[None, :], big, comps).reshape(3, c_count, cluster_size)
+            hi = jnp.where(pad[None, :], -big, comps).reshape(3, c_count, cluster_size)
+            mns.append(lo.min(axis=(0, 2)))
+            mxs.append(hi.max(axis=(0, 2)))
+        aabb_mn = jnp.stack(mns, axis=1)
+        aabb_mx = jnp.stack(mxs, axis=1)
+        inv_box = aabb_mn > aabb_mx
+        aabb_mn = jnp.where(inv_box, inf, aabb_mn)
+        aabb_mx = jnp.where(inv_box, inf, aabb_mx)
 
     return ClusterScene(
         tri_pack=tri_pack,

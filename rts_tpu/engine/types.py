@@ -125,6 +125,10 @@ class TraceConfig:
     group_size: int = 16  # clusters per supercluster
     super_size: int = 1  # groups per super²cluster; 1 = 2-level (measured best at <=1M tris)
     sub_tiles: int = 4  # ray sub-blocks per tile, each slab-gated in the kernel
+    # Per-tile candidate-list width for the two-phase traversal (phase 1
+    # builds near-to-far candidate clusters in vectorised XLA; the kernel
+    # loops only over them).  0 = the original hierarchical sweep.
+    candidates: int = 64
     # Morton-order the fan so ray tiles are compact patches.  Measured
     # SLOWER than raster order on the bench scenes (raster tiles hold iz
     # fixed and are already coherent; 3D Morton scatters the weakly

@@ -695,6 +695,7 @@ def trace_fan(
                 group_size=cfg.group_size,
                 super_size=cfg.super_size,
                 sub_tiles=cfg.sub_tiles,
+                candidates=cfg.candidates,
                 interpret=cfg.interpret,
             )
 

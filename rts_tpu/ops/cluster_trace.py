@@ -6,24 +6,33 @@ The TPU-native replacement for OptiX's hardware BVH traversal
 axis; rows = n, c1, c0, e1, e0, np0); rays are processed in tiles of
 ``ray_tile``.
 
-Per grid step (one ray tile), the kernel walks superclusters of
-``group_size`` consecutive clusters, near-to-far from the transmitter:
+Traversal is two-phase (the log-depth analogue for a vector machine —
+in-kernel scalar branching, not arithmetic, is what bounds a flat sweep):
 
-  1. slab-test the tile's rays against the group AABB with running-best
-     pruning (entry > best_t means the group cannot improve any hit);
-  2. on group overlap, slab-test its member clusters; an overlapping
-     cluster's packed tile is DMA'd HBM -> VMEM double-buffered (the
-     previous cluster's Möller–Trumbore test runs while the copy is in
-     flight);
-  3. the MT test itself runs per 64-ray sub-block, each gated by its own
-     slab test, as broadcast-sum K=3 contractions (VPU work — see
-     engine/intersect.py for the triple-product identity), folding the
-     per-cluster one-hot argmin into the running best.
+  PHASE 1 (plain XLA, fully vectorised, once per wavefront segment):
+  build a per-ray-tile CANDIDATE CLUSTER LIST.  Each tile's live rays are
+  reduced to a conservative frustum (origin box x direction box, per
+  ``sub_tiles`` sub-block) and interval-slab-tested against every cluster
+  AABB at once — a dense [tiles, clusters] op XLA eats for breakfast.
+  Overlapping clusters are sorted near-to-far by conservative entry
+  distance and the first ``k_max`` land in an int32 list; tiles with more
+  overlaps than ``k_max`` (rare: only badly incoherent tiles) are flagged
+  for the in-kernel fallback sweep.
 
-Work AND data movement scale with the number of overlapping
-(ray-sub-block x cluster) pairs instead of rays x triangles — the
-wavefront analogue of BVH culling, with no pointer chasing and fully
-static shapes.
+  PHASE 2 (this kernel, one grid step per ray tile): loop over ONLY the
+  tile's candidates — each iteration re-slab-tests the tile with the
+  running-best prune (near-to-far order makes the prune effective), then
+  DMAs the packed cluster HBM -> VMEM double-buffered (the previous
+  cluster's Möller–Trumbore test runs while the copy is in flight).  The
+  MT test runs per 64-ray sub-block, each gated by its own slab test, as
+  broadcast-sum K=3 contractions (VPU work — see engine/intersect.py).
+  Flagged overflow tiles instead walk the full supergroup/group/cluster
+  hierarchy (the pre-candidate design, kept as the always-correct path).
+
+Sequential in-kernel iterations per tile drop from
+O(groups + visited*group_size) slab/branch steps (~150 at 1M tris, each
+~0.8 us of scalar-serialised latency) to O(candidates) (~10), which is
+what moves the kernel from loop-overhead-bound to VPU-flops-bound.
 """
 
 from __future__ import annotations
@@ -82,6 +91,8 @@ def _mt_kernel(
     gorder_ref,  # [G, 1] SMEM int32 — group visit order, near-to-far WITHIN
     #              each supergroup (slot sg*super_size + j holds the j-th
     #              nearest group of supergroup sg)
+    cand_ref,  # [1, K] SMEM int32 — this tile's candidate clusters, near-to-far
+    meta_ref,  # [1, 2] SMEM int32 — (candidate count, overflow flag)
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -97,6 +108,7 @@ def _mt_kernel(
     group_size: int,
     super_size: int,  # groups per supergroup (3rd culling level)
     sub_tiles: int,
+    k_max: int,  # candidate-list width; 0 = always use the hierarchical sweep
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -256,7 +268,32 @@ def _mt_kernel(
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     n_super = num_clusters // group_size // super_size
-    pending, cp_id, cnt = jax.lax.fori_loop(0, n_super, super_body, init)
+    if k_max > 0:
+        # Candidate mode: loop only over the tile's precomputed near-to-far
+        # candidate clusters (phase 1, _tile_candidates).  Each step re-runs
+        # the exact per-ray slab test with the running-best prune, so false
+        # frustum positives and best-pruned far candidates cost one loop
+        # iteration, never a DMA.  Overflowed tiles (more overlaps than the
+        # list holds) take the full hierarchical sweep instead.
+        def cand_step(i, carry):
+            c = cand_ref[0, i]
+            best = t_out[:, 0]
+            overlap = _slab_overlap(o, d, tmin, best, mn_ref[c, :], mx_ref[c, :])
+
+            def go(cr):
+                counters[0] = counters[0] + 1
+                return on_hit(c, cr)
+
+            return jax.lax.cond(jnp.any(overlap), go, lambda cr: cr, carry)
+
+        pending, cp_id, cnt = jax.lax.cond(
+            meta_ref[0, 1] != 0,
+            lambda cr: jax.lax.fori_loop(0, n_super, super_body, cr),
+            lambda cr: jax.lax.fori_loop(0, meta_ref[0, 0], cand_step, cr),
+            init,
+        )
+    else:
+        pending, cp_id, cnt = jax.lax.fori_loop(0, n_super, super_body, init)
 
     # drain the last in-flight cluster
     @pl.when(pending == 1)
@@ -272,6 +309,95 @@ def _mt_kernel(
         counters[0],
         jnp.where((row == 0) & (lane == 1), counters[1], 0),
     )
+
+
+def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max):
+    """Phase 1: per-ray-tile candidate cluster lists (vectorised XLA).
+
+    Each ``ray_tile/sub_tiles``-ray sub-block of live rays is reduced to a
+    conservative frustum (componentwise origin and direction intervals)
+    and interval-slab-tested against every cluster AABB in one dense op;
+    a cluster survives for a tile when any of its sub-blocks may overlap.
+    Conservative by construction (interval arithmetic only widens): a
+    cluster any live ray could hit is never dropped.  Candidates are
+    sorted near-to-far by conservative entry distance, so the kernel's
+    running-best prune fires as early as the old supergroup ordering did.
+
+    Returns (cand [tiles, k_max] int32, meta [tiles, 2] int32) with
+    meta[:, 0] = candidate count and meta[:, 1] = 1 when the tile overlaps
+    more than ``k_max`` clusters (the kernel then falls back to the full
+    hierarchical sweep for that tile, keeping correctness unconditional).
+    """
+    l = origin.shape[0]
+    c = mn.shape[0]
+    rs = ray_tile // sub_tiles
+    b = l // rs
+    f32 = jnp.float32
+    o = origin.astype(f32).reshape(b, rs, 3)
+    d = direction.astype(f32).reshape(b, rs, 3)
+    alive = jnp.sum(d * d, axis=-1) > 0.0  # [b, rs]
+    am = alive[..., None]
+    big = jnp.float32(_BIG)
+    o_lo = jnp.min(jnp.where(am, o, big), axis=1)  # [b, 3]
+    o_hi = jnp.max(jnp.where(am, o, -big), axis=1)
+    d_lo = jnp.min(jnp.where(am, d, big), axis=1)
+    d_hi = jnp.max(jnp.where(am, d, -big), axis=1)
+    t_lo = jnp.min(jnp.where(alive, tmin.astype(f32).reshape(b, rs), big), axis=1)  # [b]
+    any_alive = jnp.any(alive, axis=1)  # [b]
+
+    # interval reciprocal of the direction box; an axis whose interval
+    # spans zero constrains nothing (conservative [-BIG, +BIG] slab)
+    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)  # [b, 3]
+    safe_lo = jnp.where(spans0, 1.0, d_lo)
+    safe_hi = jnp.where(spans0, 1.0, d_hi)
+    inv_a = (1.0 / safe_hi)[:, None, :]  # [b, 1, 3]
+    inv_b = (1.0 / safe_lo)[:, None, :]
+
+    def t_interval(face):  # face [c, 3] -> conservative (lo, hi) [b, c, 3]
+        a_lo = face[None, :, :] - o_hi[:, None, :]
+        a_hi = face[None, :, :] - o_lo[:, None, :]
+        p1, p2 = a_lo * inv_a, a_lo * inv_b
+        p3, p4 = a_hi * inv_a, a_hi * inv_b
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+        )
+
+    mnf = mn.astype(f32)
+    mxf = mx.astype(f32)
+    t1_lo, t1_hi = t_interval(mnf)
+    t2_lo, t2_hi = t_interval(mxf)
+    lo_ax = jnp.minimum(t1_lo, t2_lo)
+    hi_ax = jnp.maximum(t1_hi, t2_hi)
+    sp = spans0[:, None, :]
+    lo_ax = jnp.where(sp, -big, lo_ax)
+    hi_ax = jnp.where(sp, big, hi_ax)
+    # min over rays of per-ray entry tn = max_ax(lo_ax) is bounded below by
+    # max_ax(min over rays lo_ax); same one-sided bound for the exit tf.
+    l_tn = jnp.max(lo_ax, axis=2)  # [b, c]
+    u_tf = jnp.min(hi_ax, axis=2)
+    box_ok = jnp.all(jnp.isfinite(mnf) & jnp.isfinite(mxf) & (mnf <= mxf), axis=1)  # [c]
+    overlap = (
+        any_alive[:, None]
+        & box_ok[None, :]
+        & (u_tf >= l_tn)
+        & (u_tf >= jnp.maximum(t_lo, 0.0)[:, None])
+    )
+
+    tiles = l // ray_tile
+    overlap_t = jnp.any(overlap.reshape(tiles, sub_tiles, c), axis=1)  # [tiles, c]
+    tnear = jnp.where(overlap, jnp.maximum(l_tn, 0.0), jnp.float32(jnp.inf))
+    tnear_t = jnp.min(tnear.reshape(tiles, sub_tiles, c), axis=1)
+
+    count = jnp.sum(overlap_t, axis=1).astype(jnp.int32)  # [tiles]
+    k_eff = min(k_max, c)
+    order = jnp.argsort(tnear_t, axis=1)[:, :k_eff].astype(jnp.int32)
+    if k_eff < k_max:
+        order = jnp.pad(order, ((0, 0), (0, k_max - k_eff)))
+    meta = jnp.stack(
+        [jnp.minimum(count, k_eff), (count > k_eff).astype(jnp.int32)], axis=1
+    )
+    return order, meta
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -291,7 +417,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -307,14 +433,15 @@ def closest_hit_clustered(
     group_size: int = 8,
     super_size: int = 8,
     sub_tiles: int = 4,
+    candidates: int = 64,  # per-tile candidate-list width; 0 = sweep-only
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32).
 
-    With ``with_stats`` also returns an int32 [tiles, 2] array of (groups
-    visited, clusters processed) per ray tile — the traversal workload
-    counters used for culling-quality analysis.
+    With ``with_stats`` also returns an int32 [tiles, 2] array of
+    (candidates/groups visited, clusters processed) per ray tile — the
+    traversal workload counters used for culling-quality analysis.
     """
     l = origin.shape[0]
     t_total = tri_pack.shape[1]
@@ -366,10 +493,22 @@ def closest_hit_clustered(
         tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
 
     f32 = jnp.float32
+    if candidates > 0:
+        cand, meta = _tile_candidates(
+            origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates
+        )
+        k_width = candidates
+    else:
+        # sweep-only mode: dummy lists, overflow flag forces the sweep path
+        n_t = l_pad // rt
+        cand = jnp.zeros((n_t, 1), jnp.int32)
+        meta = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (n_t, 1))
+        k_width = 1
     grid = (l_pad // rt,)
     kernel = partial(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
+        k_max=candidates,
     )
 
     n_tiles = l_pad // rt
@@ -402,6 +541,8 @@ def closest_hit_clustered(
             full(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k_width), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
@@ -423,6 +564,8 @@ def closest_hit_clustered(
         s_mx.astype(f32),
         s_order,
         g_order,
+        cand,
+        meta,
         tri_pack.astype(f32),
     )
 

@@ -35,6 +35,7 @@ def prepare_cpi(
     accel: str = "brute",
     cluster_size: int = 256,
     ray_tile: int = 256,
+    candidates: int = 64,
     interpret: bool = False,
     refine: bool = False,
     replay_cap: int = 0,
@@ -66,7 +67,12 @@ def prepare_cpi(
         from rts_tpu.accel import cluster_reorder
 
         scene = cluster_reorder(scene, cluster_size=cluster_size)
-    base = scene_base(scene, dtype=dtype, with_lo=refine)
+    base = scene_base(
+        scene,
+        dtype=dtype,
+        with_lo=refine,
+        cluster_size=cluster_size if accel == "cluster" else 0,
+    )
 
     # per-pulse transforms
     rot = attitude_rotations(world.targets, times, params.start_time)
@@ -148,8 +154,8 @@ def prepare_cpi(
             r1 = rot_axis_reversed(orth, np.float64(el), xp=np)
             fan_rot[i] = r1 @ rz
             bore[i] = [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)]
-        rx_c = np.stack(geo_leaves["centre"])
-        rx_r = np.stack(geo_leaves["radius"])
+        rx_c = np.asarray(geo["centre"], np.float64)
+        rx_r = np.asarray(geo["radius"], np.float64)
         extras = RefineExtras(
             rot_lo=lo32(rot),
             pos_lo=lo32(pos),
@@ -182,6 +188,7 @@ def prepare_cpi(
         accel=accel,
         cluster_size=cluster_size,
         ray_tile=ray_tile,
+        candidates=candidates,
         interpret=interpret,
         refine=refine,
         replay_cap=replay_cap,

@@ -148,6 +148,129 @@ def test_kernel_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(got.gamma)[f], np.asarray(ref.gamma)[f], rtol=2e-3, atol=1e-5)
 
 
+def _random_rays(l=256, seed=0):
+    rng = np.random.default_rng(seed)
+    o = np.zeros((l, 3))
+    o[l // 2 :] = rng.uniform(-100, 1000, (l - l // 2, 3))
+    d = np.zeros((l, 3))
+    d[: l // 4] = np.stack(
+        [np.ones(l // 4), rng.uniform(-0.1, 0.1, l // 4), rng.uniform(-0.1, 0.1, l // 4)], -1
+    )
+    d[l // 4 : -8] = rng.normal(size=(l - l // 4 - 8, 3))  # incoherent block
+    # last 8 lanes dead (d = 0)
+    tmin = np.full(l, 0.005, np.float32)
+    return (
+        jnp.asarray(o, jnp.float32),
+        jnp.asarray(d, jnp.float32),
+        jnp.asarray(tmin),
+    )
+
+
+def test_candidate_modes_agree():
+    """Candidate traversal (generous K), forced-overflow fallback (K=1)
+    and sweep-only (candidates=0) must produce identical hits."""
+    scene = make_scene()
+    dev = scene_to_device(scene, dtype=jnp.float32)
+    mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
+    pack = pack_tri_fields(dev.tri_n, dev.tri_c1, dev.tri_c0, dev.tri_e1, dev.tri_e0, dev.tri_np0)
+    o, d, tm = _random_rays()
+
+    outs = {}
+    for k in (0, 1, 64):
+        outs[k] = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=k, interpret=True,
+        )
+    assert int(outs[64].found.sum()) > 20
+    for k in (0, 1):
+        np.testing.assert_array_equal(np.asarray(outs[k].found), np.asarray(outs[64].found))
+        f = np.asarray(outs[64].found)
+        np.testing.assert_array_equal(np.asarray(outs[k].tri)[f], np.asarray(outs[64].tri)[f])
+        np.testing.assert_array_equal(np.asarray(outs[k].t)[f], np.asarray(outs[64].t)[f])
+
+
+def test_tile_candidates_conservative():
+    """Phase 1 must never drop a cluster that the exact per-ray slab test
+    overlaps (randomised rays incl. axis-aligned, dead and inside-box)."""
+    from rts_tpu.ops.cluster_trace import _BIG, _slab_overlap, _tile_candidates
+
+    rng = np.random.default_rng(3)
+    c = 24
+    lo = rng.uniform(-200, 200, (c, 3)).astype(np.float32)
+    hi = lo + rng.uniform(1, 120, (c, 3)).astype(np.float32)
+    # sentinel padding boxes
+    lo[-2:] = np.inf
+    hi[-2:] = np.inf
+    mn, mx = jnp.asarray(lo), jnp.asarray(hi)
+
+    rt, st = 64, 4
+    l = 192
+    o = rng.uniform(-250, 250, (l, 3)).astype(np.float32)
+    d = rng.normal(size=(l, 3)).astype(np.float32)
+    d[:20, 1:] = 0.0  # axis-aligned
+    d[20:30] = 0.0  # dead
+    o[30:40] = (lo[0] + hi[0]) / 2  # inside a box
+    tmin = np.full(l, 0.005, np.float32)
+    o, d, tmin = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin)
+
+    cand, meta = _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c)
+    cand, meta = np.asarray(cand), np.asarray(meta)
+    assert (meta[:, 1] == 0).all()  # k_max = c can never overflow
+
+    best = jnp.full((l,), _BIG, jnp.float32)
+    for ci in range(c):
+        exact = np.asarray(_slab_overlap(o, d, tmin, best, mn[ci], mx[ci]))
+        for t in range(l // rt):
+            if exact[t * rt : (t + 1) * rt].any():
+                assert ci in cand[t, : meta[t, 0]], (t, ci)
+    # sentinels never appear among candidates
+    for t in range(l // rt):
+        assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
+
+
+def test_corner_refit_conservative_and_used():
+    """animate_packed's corner-transform refit must produce boxes that
+    contain every animated vertex of their cluster (for random rigid
+    motions), and all-padding clusters must keep the [+inf,+inf] sentinel."""
+    from rts_tpu.engine.animate import animate_packed, scene_base
+
+    scene = make_scene()
+    base = scene_base(scene, dtype=jnp.float32, cluster_size=CS)
+    assert base.cl_mn is not None
+
+    rng = np.random.default_rng(7)
+    nt = base.num_targets
+    # random rotations via QR
+    q, _ = np.linalg.qr(rng.normal(size=(nt, 3, 3)))
+    pos = rng.uniform(-500, 500, (nt, 3))
+    vel = np.zeros((nt, 3))
+    sc = animate_packed(
+        base, jnp.asarray(q, jnp.float32), jnp.asarray(pos, jnp.float32),
+        jnp.asarray(vel, jnp.float32), CS,
+    )
+    mn = np.asarray(sc.aabb_mn)
+    mx = np.asarray(sc.aabb_mx)
+
+    # animated vertices straight from the base soup (f64 ground truth)
+    tid = np.clip(np.asarray(base.tri_target), 0, nt - 1)
+    tv = np.asarray(base.tri_verts, np.float64)  # [T, 3, 3]
+    verts = np.einsum("tij,tcj->tci", q[tid], tv) + np.where(
+        (np.asarray(base.tri_target) >= 0)[:, None, None], pos[tid][:, None, :], 0.0
+    )
+    c = tv.shape[0] // CS
+    pad = (np.asarray(base.tri_target) < 0).reshape(c, CS)
+    v = verts.reshape(c, CS, 3, 3)
+    for ci in range(c):
+        real = ~pad[ci]
+        if not real.any():
+            assert np.isinf(mn[ci]).all() and np.isinf(mx[ci]).all()
+            continue
+        vmin = v[ci][real].min(axis=(0, 1))
+        vmax = v[ci][real].max(axis=(0, 1))
+        assert (mn[ci] <= vmin + 1e-5).all(), ci
+        assert (mx[ci] >= vmax - 1e-5).all(), ci
+
+
 def test_fan_tiling_permutation_roundtrip():
     """num_rays > 4 engages Morton fan tiling; results must land back in
     the reference launch order (vs brute force, incl. refraction slots)."""
