@@ -127,6 +127,7 @@ def make_pulse_fn(
             cspeed=cspeed,
             carrier=carrier,
             ray_length_lo=res.ray_length_lo if cfg.refine else None,
+            num_targets=int(base.target_refl.shape[0]),
         )
         return CpiResult(power=power, doppler=doppler, delay=delay, received=res.received, agg=agg)
 

@@ -202,6 +202,7 @@ def run(
                 num_rx=num_rx,
                 cspeed=cspeed,
                 carrier=carrier,
+                num_targets=len(world.targets),
             )
             trace_s = _time.perf_counter() - t0
 

@@ -120,3 +120,40 @@ def test_direct_ray_matches_everything_at_receiver():
     np.testing.assert_allclose(float(out.power[1]), 4.0)  # ((1+2+3)/3)^2
     # direct lane's pathMatch is the receiver-wide minimum lane (0)
     assert int(out.path_match[1]) == 0
+
+
+def test_dense_path_matches_sort_and_oracle():
+    """The sort-free dense lowering (num_targets set, small radix space)
+    must reproduce the sort path and the O(N^2) oracle exactly."""
+    rng = np.random.default_rng(11)
+    for case in range(5):
+        received, refl, refr, path, power, ray_length, doppler = make_case(rng)
+        args = (
+            jnp.asarray(received, jnp.int32),
+            jnp.asarray(refl, jnp.int32),
+            jnp.asarray(refr, jnp.int32),
+            jnp.asarray(path, jnp.int32),
+            jnp.asarray(power),
+            jnp.asarray(ray_length),
+            jnp.asarray(doppler),
+        )
+        kw = dict(num_rx=3, cspeed=C, carrier=CARRIER)
+        dense = aggregate_lanes(*args, **kw, num_targets=3)  # 3*4^3+1 = 193 bins
+        sortp = aggregate_lanes(*args, **kw)  # num_targets=0 -> sort path
+        for name in ("npath", "power", "delay", "phase", "doppler", "path_match", "emit"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(dense, name)),
+                np.asarray(getattr(sortp, name)),
+                rtol=1e-12, atol=0, err_msg=f"case {case}: {name}",
+            )
+
+        valid = received >= 0
+        lanes_of = np.where(valid)[0]
+        o = oracle_aggregate(
+            received[valid], refl[valid], refr[valid], path[valid],
+            power[valid], ray_length[valid], doppler[valid], C, CARRIER,
+        )
+        np.testing.assert_allclose(np.asarray(dense.npath)[lanes_of], o.npath)
+        np.testing.assert_allclose(np.asarray(dense.power)[lanes_of], o.power, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(dense.delay)[lanes_of], o.delay, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(dense.doppler)[lanes_of], o.doppler, rtol=1e-12)

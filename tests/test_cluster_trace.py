@@ -189,9 +189,10 @@ def test_candidate_modes_agree():
         np.testing.assert_array_equal(np.asarray(outs[k].t)[f], np.asarray(outs[64].t)[f])
 
 
-def test_tile_candidates_conservative():
-    """Phase 1 must never drop a cluster that the exact per-ray slab test
-    overlaps (randomised rays incl. axis-aligned, dead and inside-box)."""
+def test_tile_candidates_match_exact_union():
+    """Phase 1 must produce EXACTLY the per-tile union of the kernel's
+    per-ray slab test (randomised rays incl. axis-aligned, dead and
+    inside-box; sentinel padding boxes excluded)."""
     from rts_tpu.ops.cluster_trace import _BIG, _slab_overlap, _tile_candidates
 
     rng = np.random.default_rng(3)
@@ -218,11 +219,13 @@ def test_tile_candidates_conservative():
     assert (meta[:, 1] == 0).all()  # k_max = c can never overflow
 
     best = jnp.full((l,), _BIG, jnp.float32)
-    for ci in range(c):
-        exact = np.asarray(_slab_overlap(o, d, tmin, best, mn[ci], mx[ci]))
-        for t in range(l // rt):
-            if exact[t * rt : (t + 1) * rt].any():
-                assert ci in cand[t, : meta[t, 0]], (t, ci)
+    for t in range(l // rt):
+        exact_set = set()
+        for ci in range(c):
+            ov = np.asarray(_slab_overlap(o, d, tmin, best, mn[ci], mx[ci]))
+            if ov[t * rt : (t + 1) * rt].any():
+                exact_set.add(ci)
+        assert set(cand[t, : meta[t, 0]].tolist()) == exact_set, t
     # sentinels never appear among candidates
     for t in range(l // rt):
         assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
