@@ -97,6 +97,7 @@ def build(args):
         cluster_size=args.cluster_size,
         ray_tile=args.ray_tile,
         candidates=args.candidates,
+        fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
     )
@@ -117,6 +118,10 @@ def main():
     ap.add_argument(
         "--candidates", type=int, default=64,
         help="per-tile candidate-list width (two-phase traversal); 0 = hierarchical sweep",
+    )
+    ap.add_argument(
+        "--fan-order", choices=("raster", "morton3", "morton2"), default="raster",
+        help="fan tile order (morton2 = compact angular patches, launch-range axis minor)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

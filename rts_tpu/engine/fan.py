@@ -19,29 +19,59 @@ from rts_tpu.core.rotation import rot_axis_reversed, rot_z
 from rts_tpu.core.vec import normalize3, sph_to_cart
 
 
+def _spread3(v):
+    v = v.astype(np.uint64)
+    v = (v * np.uint64(0x00010001)) & np.uint64(0xFF0000FF)
+    v = (v * np.uint64(0x00000101)) & np.uint64(0x0F00F00F)
+    v = (v * np.uint64(0x00000011)) & np.uint64(0xC30C30C3)
+    v = (v * np.uint64(0x00000005)) & np.uint64(0x49249249)
+    return v
+
+
+def _spread2(v):
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
 @functools.lru_cache(maxsize=32)
-def fan_tile_perm(num_rays: int) -> np.ndarray:
-    """Morton permutation of the N^3 fan indices.
+def fan_tile_perm(num_rays: int, mode: str = "morton3") -> np.ndarray:
+    """Tiling permutation of the N^3 fan indices.
 
     The natural launch order (rayIndex = iz*N^2 + iy*N + ix,
-    ray_tracer.cu:151) makes a 256-ray tile a long thin angular strip;
-    Morton order makes it a compact patch, so each traversal tile's
-    frustum overlaps far fewer clusters.  Results are inverse-permuted
-    back to the reference launch order after tracing (bit-identical —
-    each ray's chain is independent of tile membership).
+    ray_tracer.cu:151) makes a 512-ray tile a long thin angular strip;
+    a Morton order makes it a compact patch, so each traversal tile
+    overlaps far fewer clusters.  Results are inverse-permuted back to
+    the reference launch order after tracing (bit-identical — each
+    ray's chain is independent of tile membership).
+
+    Modes:
+      * ``morton3`` — 3-D Morton over (iz, iy, ix).
+      * ``morton2`` — 2-D Morton over (iz, iy) with ix as the MINOR
+        (raster) axis.  The fan's direction varies along iy (azimuth)
+        and iz (elevation) only; ix interpolates the launch-range
+        stretch (identical directions when launchRange = 0,
+        ray_tracer.cu:167), so keeping ix minor packs each tile into a
+        compact square angular patch of (iy, iz) cells — the right
+        order for candidate-list traversal.
     """
     n = num_rays
     iz, iy, ix = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
-
-    def spread(v):
-        v = v.astype(np.uint64)
-        v = (v * np.uint64(0x00010001)) & np.uint64(0xFF0000FF)
-        v = (v * np.uint64(0x00000101)) & np.uint64(0x0F00F00F)
-        v = (v * np.uint64(0x00000011)) & np.uint64(0xC30C30C3)
-        v = (v * np.uint64(0x00000005)) & np.uint64(0x49249249)
-        return v
-
-    code = (spread(iz.ravel()) << np.uint64(2)) | (spread(iy.ravel()) << np.uint64(1)) | spread(ix.ravel())
+    if mode == "morton2":
+        bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+        code = (
+            ((_spread2(iz.ravel()) << np.uint64(1)) | _spread2(iy.ravel()))
+            << np.uint64(bits)
+        ) | ix.ravel().astype(np.uint64)
+    else:
+        code = (
+            (_spread3(iz.ravel()) << np.uint64(2))
+            | (_spread3(iy.ravel()) << np.uint64(1))
+            | _spread3(ix.ravel())
+        )
     return np.argsort(code, kind="stable")
 
 

@@ -129,11 +129,16 @@ class TraceConfig:
     # builds near-to-far candidate clusters in vectorised XLA; the kernel
     # loops only over them).  0 = the original hierarchical sweep.
     candidates: int = 64
-    # Morton-order the fan so ray tiles are compact patches.  Measured
-    # SLOWER than raster order on the bench scenes (raster tiles hold iz
-    # fixed and are already coherent; 3D Morton scatters the weakly
-    # direction-dependent iz index) — kept as an option, default off.
-    fan_tiling: bool = False
+    # Fan tile order: "raster" (reference launch order), "morton3"
+    # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
+    # direction-bearing axes iz/iy with the launch-range axis ix minor —
+    # compact square angular patches, the right order for candidate-list
+    # traversal).  Results are inverse-permuted back to launch order.
+    fan_order: str = "raster"
+
+    @property
+    def fan_tiling(self) -> bool:
+        return self.fan_order != "raster"
     # Compact active lanes to the front once refraction spawning is over,
     # so late segments only traverse live tiles.  Wins when most of the
     # fan misses at segment 1; loses (sort+permute overhead) when the fan

@@ -654,7 +654,7 @@ def trace_fan(
     ):
         from rts_tpu.engine.fan import fan_tile_perm
 
-        fan_perm = fan_tile_perm(cfg.num_rays)
+        fan_perm = fan_tile_perm(cfg.num_rays, cfg.fan_order)
         fan_dirs = fan_dirs[jnp.asarray(fan_perm)]
     ray_total = cfg.slot_multiplier * n3
     state = _init_state(cfg, tx_origin, fan_dirs, dtype)

@@ -57,6 +57,12 @@ _P1_FANOUT = 16
 _P1_SUPER_K = 16
 
 
+def _dma_depth(k_max: int) -> int:
+    """Cluster-DMA pipeline depth: deep prefetch in candidate mode (hides
+    the ~us per-copy latency), classic double-buffer for the sweep."""
+    return max(2, min(8, k_max)) if k_max > 0 else 2
+
+
 def _slab_overlap(o, d, tmin, best, mn, mx):
     """Rays [RT,3] vs one AABB (mn/mx [3]).  Robust to d==0 axes.
 
@@ -143,11 +149,19 @@ def _mt_kernel(
     counters[1] = jnp.int32(0)
 
     cs = cluster_size
+    nbuf = _dma_depth(k_max)
 
     def get_dma(c, slot):
+        """Async copy of cluster ``c``'s packed tile into scratch ``slot``
+        (a lane-axis column block of the [16, nbuf*cs] scratch — the slot
+        index can then be a traced value, where a leading-dim traced
+        index could not lower on Mosaic)."""
         base = pl.multiple_of(c * cs, cs)
+        dst = pl.multiple_of(slot * cs, cs)
         return pltpu.make_async_copy(
-            pack_hbm.at[:, pl.ds(base, cs)], pack_s.at[slot], sem.at[slot]
+            pack_hbm.at[:, pl.ds(base, cs)],
+            pack_s.at[:, pl.ds(dst, cs)],
+            sem.at[slot],
         )
 
     rt = o.shape[0]
@@ -165,9 +179,8 @@ def _mt_kernel(
         own slab test against this cluster — only the ray sub-blocks that
         actually overlap pay the (VPU-peak-bound) MT flops.
         """
-        # static-index read per slot: a traced first-dim index would lower
-        # as an (unsupported) 3D gather on Mosaic
-        pack = jax.lax.cond(slot == 0, lambda: pack_s[0], lambda: pack_s[1])
+        off = pl.multiple_of(slot * cs, cs)
+        pack = pack_s[:, pl.ds(off, cs)]
         n_t = pack[0:3, :]
         c1_t = pack[3:6, :]
         c0_t = pack[6:9, :]
@@ -280,28 +293,46 @@ def _mt_kernel(
     n_super = num_clusters // group_size // super_size
     if k_max > 0:
         # Candidate mode: loop only over the tile's precomputed near-to-far
-        # candidate clusters (phase 1, _tile_candidates).  Each step re-runs
-        # the exact per-ray slab test with the running-best prune, so false
-        # frustum positives and best-pruned far candidates cost one loop
-        # iteration, never a DMA.  Overflowed tiles (more overlaps than the
-        # list holds) take the full hierarchical sweep instead.
+        # candidate clusters (phase 1, _tile_candidates), with an
+        # ``nbuf``-deep DMA pipeline — every candidate is an EXACT per-ray
+        # overlap, so all of them are prefetched unconditionally (the
+        # 2-deep wait-then-process chain was DMA-latency-bound at ~6 us
+        # per candidate when compute per cluster is only ~1-3 us); the
+        # per-sub-block slab tests keep the running-best prune on the MT
+        # flops.  Overflowed tiles (more overlaps than the list holds)
+        # take the full hierarchical sweep instead.
         tile = pl.program_id(0)
 
-        def cand_step(i, carry):
-            c = cand_ref[tile, i]
-            best = t_out[:, 0]
-            overlap = _slab_overlap(o, d, tmin, best, mn_ref[c, :], mx_ref[c, :])
+        def cand_path(cr):
+            n_cand = meta_ref[tile, 0]
+            counters[0] = counters[0] + n_cand
+            counters[1] = counters[1] + n_cand
+            for b in range(nbuf):
 
-            def go(cr):
-                counters[0] = counters[0] + 1
-                return on_hit(c, cr)
+                @pl.when(b < n_cand)
+                def _(b=b):
+                    get_dma(cand_ref[tile, b], b).start()
 
-            return jax.lax.cond(jnp.any(overlap), go, lambda cr: cr, carry)
+            def cand_step(i, c2):
+                slot = jax.lax.rem(i, jnp.int32(nbuf))
+                c = cand_ref[tile, i]
+                get_dma(c, slot).wait()
+                process(c, slot)
+                nxt = i + jnp.int32(nbuf)
+
+                @pl.when(nxt < n_cand)
+                def _():
+                    get_dma(cand_ref[tile, nxt], slot).start()
+
+                return c2
+
+            jax.lax.fori_loop(0, n_cand, cand_step, jnp.int32(0))
+            return cr
 
         pending, cp_id, cnt = jax.lax.cond(
             meta_ref[tile, 1] != 0,
             lambda cr: jax.lax.fori_loop(0, n_super, super_body, cr),
-            lambda cr: jax.lax.fori_loop(0, meta_ref[tile, 0], cand_step, cr),
+            cand_path,
             init,
         )
     else:
@@ -615,9 +646,9 @@ def closest_hit_clustered(
         ],
         out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, cluster_size), f32),
+            pltpu.VMEM((16, _dma_depth(candidates) * cluster_size), f32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_dma_depth(candidates),)),
         ],
         interpret=interpret,
     )(

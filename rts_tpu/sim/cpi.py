@@ -36,6 +36,7 @@ def prepare_cpi(
     cluster_size: int = 256,
     ray_tile: int = 256,
     candidates: int = 64,
+    fan_order: str = "raster",
     interpret: bool = False,
     refine: bool = False,
     replay_cap: int = 0,
@@ -189,6 +190,7 @@ def prepare_cpi(
         cluster_size=cluster_size,
         ray_tile=ray_tile,
         candidates=candidates,
+        fan_order=fan_order,
         interpret=interpret,
         refine=refine,
         replay_cap=replay_cap,

@@ -231,6 +231,41 @@ def test_tile_candidates_match_exact_union():
         assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
 
 
+def test_supergroup_overflow_flags_tiles():
+    """A ray set overlapping more supergroups than the level-1 budget
+    must flag the tile (kernel falls back to the sweep), never silently
+    drop clusters."""
+    from rts_tpu.ops.cluster_trace import _P1_FANOUT, _P1_SUPER_K, _tile_candidates
+
+    # a long row of small boxes along +x: one per cluster, so a ray down
+    # the row overlaps every supergroup
+    c = _P1_FANOUT * (_P1_SUPER_K + 4)
+    xs = np.arange(c, dtype=np.float32) * 10.0
+    mn = np.stack([xs, np.full(c, -1.0), np.full(c, -1.0)], axis=1)
+    mx = np.stack([xs + 5.0, np.full(c, 1.0), np.full(c, 1.0)], axis=1)
+
+    l = 64
+    o = np.tile(np.asarray([[-10.0, 0.0, 0.0]], np.float32), (l, 1))
+    d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (l, 1))
+    tmin = np.full(l, 0.005, np.float32)
+    cand, meta = _tile_candidates(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
+    )
+    meta = np.asarray(meta)
+    assert meta[0, 1] == 1  # flagged for the sweep
+
+    # perpendicular rays seeing only the first box: not flagged, exact
+    d2 = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (l, 1))
+    o2 = np.tile(np.asarray([[2.0, -5.0, 0.0]], np.float32), (l, 1))
+    cand2, meta2 = _tile_candidates(
+        jnp.asarray(o2), jnp.asarray(d2), jnp.asarray(tmin),
+        jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
+    )
+    cand2, meta2 = np.asarray(cand2), np.asarray(meta2)
+    assert meta2[0, 1] == 0 and meta2[0, 0] == 1 and cand2[0, 0] == 0
+
+
 def test_corner_refit_conservative_and_used():
     """animate_packed's corner-transform refit must produce boxes that
     contain every animated vertex of their cluster (for random rigid
@@ -284,6 +319,12 @@ def test_fan_tiling_permutation_roundtrip():
 
     perm = fan_tile_perm(5)
     assert sorted(perm.tolist()) == list(range(125))
+    perm2 = fan_tile_perm(5, "morton2")
+    assert sorted(perm2.tolist()) == list(range(125))
+    # morton2 keeps ix (launch-range axis) minor: the first N entries of
+    # the permutation are one (iy, iz) cell's full ix run
+    first = np.sort(perm2[:5])
+    assert (first % 5 == np.arange(5)).all() and len(set(first // 5)) == 1
 
     w = make_world(num_pulses=1)
     w.targets[0].refl_coeff = 0.6
@@ -296,14 +337,15 @@ def test_fan_tiling_permutation_roundtrip():
     b2, batch2, cfg2, spec2 = prepare_cpi(
         w, params, dtype=jnp.float32, accel="cluster", cluster_size=CS, ray_tile=RT, interpret=True
     )
-    cfg2 = dataclasses.replace(cfg2, fan_tiling=True)
-    clus = trace_cpi(b2, batch2, cfg2, spec2)
-    np.testing.assert_array_equal(np.asarray(clus.received), np.asarray(brute.received))
-    f = np.asarray(brute.received) >= 0
-    assert f.sum() > 0
-    np.testing.assert_allclose(
-        np.asarray(clus.agg.delay)[f], np.asarray(brute.agg.delay)[f], rtol=1e-6
-    )
+    for order in ("morton3", "morton2"):
+        cfgo = dataclasses.replace(cfg2, fan_order=order)
+        clus = trace_cpi(b2, batch2, cfgo, spec2)
+        np.testing.assert_array_equal(np.asarray(clus.received), np.asarray(brute.received))
+        f = np.asarray(brute.received) >= 0
+        assert f.sum() > 0
+        np.testing.assert_allclose(
+            np.asarray(clus.agg.delay)[f], np.asarray(brute.agg.delay)[f], rtol=1e-6
+        )
 
 
 def test_cpi_clustered_refraction():
