@@ -97,6 +97,7 @@ def build(args):
         cluster_size=args.cluster_size,
         ray_tile=args.ray_tile,
         candidates=args.candidates,
+        sub_tiles=args.sub_tiles,
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -108,12 +109,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=1000000, help="approx. triangle count")
     ap.add_argument("--rays", type=int, default=31, help="N of the N^3 launch fan (odd keeps the boresight ray)")
-    ap.add_argument("--pulses", type=int, default=8)
+    # Whole-CPI batching is the production shape; 32 pulses amortise the
+    # ~27 ms tunnel dispatch+readback floor to <1 ms/pulse (PERF.md).
+    ap.add_argument("--pulses", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
-    ap.add_argument("--cluster-size", type=int, default=1024)
+    ap.add_argument("--cluster-size", type=int, default=512)
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument(
         "--candidates", type=int, default=64,
@@ -122,6 +125,10 @@ def main():
     ap.add_argument(
         "--fan-order", choices=("raster", "morton3", "morton2"), default="raster",
         help="fan tile order (morton2 = compact angular patches, launch-range axis minor)",
+    )
+    ap.add_argument(
+        "--sub-tiles", type=int, default=4,
+        help="slab-gated ray sub-blocks per tile in the MT kernel",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -10,29 +10,28 @@ Traversal is two-phase (the log-depth analogue for a vector machine —
 in-kernel scalar branching, not arithmetic, is what bounds a flat sweep):
 
   PHASE 1 (plain XLA, fully vectorised, once per wavefront segment):
-  build a per-ray-tile CANDIDATE CLUSTER LIST.  Each tile's live rays are
-  reduced to a conservative frustum (origin box x direction box, per
-  ``sub_tiles`` sub-block) and interval-slab-tested against every cluster
-  AABB at once — a dense [tiles, clusters] op XLA eats for breakfast.
-  Overlapping clusters are sorted near-to-far by conservative entry
-  distance and the first ``k_max`` land in an int32 list; tiles with more
-  overlaps than ``k_max`` (rare: only badly incoherent tiles) are flagged
-  for the in-kernel fallback sweep.
+  build a per-ray-tile CANDIDATE CLUSTER LIST with the kernel's own
+  EXACT per-ray slab test, evaluated hierarchically (rays x supergroup
+  boxes, then member clusters of overlapping supergroups) and OR-reduced
+  over each tile's rays; near-to-far top_k selection.  See
+  ``_tile_candidates`` for why a frustum interval test was rejected.
+  Tiles overlapping more clusters than the list holds are flagged for
+  the in-kernel fallback sweep.
 
   PHASE 2 (this kernel, one grid step per ray tile): loop over ONLY the
-  tile's candidates — each iteration re-slab-tests the tile with the
-  running-best prune (near-to-far order makes the prune effective), then
-  DMAs the packed cluster HBM -> VMEM double-buffered (the previous
-  cluster's Möller–Trumbore test runs while the copy is in flight).  The
-  MT test runs per 64-ray sub-block, each gated by its own slab test, as
+  tile's candidates with an 8-deep DMA prefetch pipeline (every
+  candidate is a real overlap, so fetches are unconditional and the
+  ~us per-copy latency is hidden).  The MT test runs per ray sub-block,
+  each gated by its own slab test carrying the running-best prune, as
   broadcast-sum K=3 contractions (VPU work — see engine/intersect.py).
   Flagged overflow tiles instead walk the full supergroup/group/cluster
   hierarchy (the pre-candidate design, kept as the always-correct path).
 
 Sequential in-kernel iterations per tile drop from
 O(groups + visited*group_size) slab/branch steps (~150 at 1M tris, each
-~0.8 us of scalar-serialised latency) to O(candidates) (~10), which is
-what moves the kernel from loop-overhead-bound to VPU-flops-bound.
+~0.8 us of scalar-serialised latency) to O(candidates) (~10), which
+moved the kernel from loop-overhead-bound to VPU-flops-bound (7.5 ->
+~3 ms/segment at 1M tris; docs/PERF.md has the ledger).
 """
 
 from __future__ import annotations
@@ -215,7 +214,11 @@ def _mt_kernel(
                 t_m = jnp.where(valid, t, _BIG)
                 tj = jnp.min(t_m, axis=1)
                 # One-hot select of the winning column (first minimum) —
-                # per-row gather is not lowerable on TPU.
+                # per-row gather is not lowerable on TPU.  Extracting the
+                # winner's barycentrics here measures CHEAPER than
+                # recomputing them outside from gathered pack columns
+                # (a [16, T] column gather strides T*4 bytes per element
+                # — measured +2.8 ms/pulse when tried).
                 cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
                 j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
                 onehot = cols == j[:, None]

@@ -36,6 +36,7 @@ def prepare_cpi(
     cluster_size: int = 256,
     ray_tile: int = 256,
     candidates: int = 64,
+    sub_tiles: int = 4,
     fan_order: str = "raster",
     interpret: bool = False,
     refine: bool = False,
@@ -190,6 +191,7 @@ def prepare_cpi(
         cluster_size=cluster_size,
         ray_tile=ray_tile,
         candidates=candidates,
+        sub_tiles=sub_tiles,
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

@@ -20,13 +20,12 @@ ap.add_argument("--cluster-size", type=int, default=1024)
 ap.add_argument("--candidates", type=int, default=64)
 ap.add_argument("--ray-tile", type=int, default=512)
 ap.add_argument("--fan-order", default="raster")
-ap.add_argument("--fan-order", default="raster")
 args = ap.parse_args()
 
 bargs = argparse.Namespace(
     tris=1000000, rays=31, pulses=8, repeat=2, tri_chunk=2048,
     scene="terrain", accel="cluster", cluster_size=args.cluster_size,
-    ray_tile=args.ray_tile, candidates=args.candidates, fan_order=args.fan_order, refine=False,
+    ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=4, fan_order=args.fan_order, refine=False,
     replay_cap=16384, tiny=False, cpi256=False, stats=False,
 )
 base, batch, cfg, spec, n_tris = B.build(bargs)
