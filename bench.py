@@ -119,7 +119,7 @@ def main():
     ap.add_argument("--cluster-size", type=int, default=512)
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument(
-        "--candidates", type=int, default=64,
+        "--candidates", type=int, default=32,
         help="per-tile candidate-list width (two-phase traversal); 0 = hierarchical sweep",
     )
     ap.add_argument(
@@ -127,7 +127,7 @@ def main():
         help="fan tile order (morton2 = compact angular patches, launch-range axis minor)",
     )
     ap.add_argument(
-        "--sub-tiles", type=int, default=4,
+        "--sub-tiles", type=int, default=8,
         help="slab-gated ray sub-blocks per tile in the MT kernel",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
@@ -139,8 +139,9 @@ def main():
         help="double-single path replay ON (the production 1e-6 power/phase config)",
     )
     ap.add_argument(
-        "--replay-cap", type=int, default=16384,
-        help="compact received lanes and replay only this many (0 = all)",
+        "--replay-cap", type=int, default=4096,
+        help="compact received lanes and replay only this many (0 = all); "
+        "the bench scenes receive a few hundred lanes per pulse at most",
     )
     ap.add_argument(
         "--cpi256",

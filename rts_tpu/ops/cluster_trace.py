@@ -56,6 +56,11 @@ _P1_FANOUT = 16
 _P1_SUPER_K = 16
 
 
+# SMEM byte budget for the per-tile candidate/meta lists; grids with more
+# tiles than fit are chunked into independent pallas_calls.
+_SMEM_LIST_BUDGET = 64 * 1024
+
+
 def _dma_depth(k_max: int) -> int:
     """Cluster-DMA pipeline depth: deep prefetch in candidate mode (hides
     the ~us per-copy latency), classic double-buffer for the sweep."""
@@ -106,6 +111,7 @@ def _mt_kernel(
     #              nearest group of supergroup sg)
     cand_ref,  # [tiles, K] SMEM int32 — per-tile candidate clusters, near-to-far
     meta_ref,  # [tiles, 2] SMEM int32 — per-tile (candidate count, overflow flag)
+    bits_ref,  # [tiles, K] SMEM int32 — per-candidate sub-block overlap bitmask
     #            (full arrays: Mosaic only blocks SMEM on (8,128) multiples,
     #             so tiles index by program_id like sorder/gorder)
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
@@ -166,7 +172,7 @@ def _mt_kernel(
     rt = o.shape[0]
     rs = rt // sub_tiles
 
-    def process(c, slot):
+    def process(c, slot, bits=None):
         """MT-test cluster ``c`` whose tile sits in scratch ``slot``.
 
         The AABB overlap mask is deliberately NOT part of validity: a hit
@@ -174,9 +180,13 @@ def _mt_kernel(
         MT predicates subsume it — which is what lets processing be
         deferred past the slab stage for DMA/compute overlap.
 
-        Rays are processed in ``sub_tiles`` row blocks, each gated by its
-        own slab test against this cluster — only the ray sub-blocks that
-        actually overlap pay the (VPU-peak-bound) MT flops.
+        Rays are processed in ``sub_tiles`` row blocks — only blocks that
+        overlap this cluster pay the (VPU-peak-bound) MT flops.  The gate
+        is the phase-1 precomputed bitmask when ``bits`` is given
+        (candidate mode: one scalar test, no vector slab + scalar-sync
+        ``any`` per block; the trade is losing the running-best prune on
+        the MT, which only skipped ~12% of blocks on the bench), else an
+        in-kernel slab test with the running-best prune (sweep mode).
         """
         off = pl.multiple_of(slot * cs, cs)
         pack = pack_s[:, pl.ds(off, cs)]
@@ -189,11 +199,15 @@ def _mt_kernel(
 
         for k in range(sub_tiles):
             rows = slice(k * rs, (k + 1) * rs)
-            sub_overlap = _slab_overlap(
-                o[rows], d[rows], tmin[rows], t_out[rows, 0], mn_ref[c, :], mx_ref[c, :]
-            )
+            if bits is None:
+                sub_overlap = _slab_overlap(
+                    o[rows], d[rows], tmin[rows], t_out[rows, 0], mn_ref[c, :], mx_ref[c, :]
+                )
+                gate = jnp.any(sub_overlap)
+            else:
+                gate = ((bits >> k) & 1) != 0
 
-            @pl.when(jnp.any(sub_overlap))
+            @pl.when(gate)
             def _(rows=rows, k=k):
                 def sdot(a0, a1, a2, f):
                     return a0[rows] * f[0:1, :] + a1[rows] * f[1:2, :] + a2[rows] * f[2:3, :]
@@ -320,7 +334,7 @@ def _mt_kernel(
                 slot = jax.lax.rem(i, jnp.int32(nbuf))
                 c = cand_ref[tile, i]
                 get_dma(c, slot).wait()
-                process(c, slot)
+                process(c, slot, bits=bits_ref[tile, i])
                 nxt = i + jnp.int32(nbuf)
 
                 @pl.when(nxt < n_cand)
@@ -376,14 +390,16 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     unbounded, that axis stops constraining, and candidate counts blow
     up ~6x (measured 54 vs the exact 8.9 on the 1M-tri nadir bench).
 
-    Returns (cand [tiles, k_max] int32, meta [tiles, 2] int32) with
-    meta[:, 0] = candidate count and meta[:, 1] = 1 when the tile
-    overlaps more than ``k_max`` clusters (the kernel then falls back to
-    the full hierarchical sweep for that tile, keeping correctness
-    unconditional).  Candidates are sorted near-to-far by entry distance
-    so the kernel's running-best prune fires early.
+    Returns (cand [tiles, k_max] int32, meta [tiles, 2] int32,
+    bits [tiles, k_max] int32) with meta[:, 0] = candidate count and
+    meta[:, 1] = 1 when the tile overlaps more than ``k_max`` clusters
+    (the kernel then falls back to the full hierarchical sweep for that
+    tile, keeping correctness unconditional).  ``bits`` bit b is set
+    when ray sub-block b of the tile overlaps the candidate — the kernel
+    gates each sub-block's MT on the precomputed bit instead of
+    re-running a vector slab + scalar-sync ``any`` per sub-block.
+    Candidates are sorted near-to-far by entry distance.
     """
-    del sub_tiles  # tile granularity only (kept for call-site stability)
     l = origin.shape[0]
     c = mn.shape[0]
     f32 = jnp.float32
@@ -483,6 +499,13 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     # sentinel boxes that never overlap)
     tnear_t = jnp.min(tnear_c, axis=1)
 
+    # per-sub-block overlap bitmask per member slot
+    rs = ray_tile // sub_tiles
+    kf = ks * fanout
+    ov_sb = jnp.any(ov_c.reshape(tiles, sub_tiles, rs, kf), axis=2)  # [tiles, st, kf]
+    weights = (1 << jnp.arange(sub_tiles, dtype=jnp.int32))[None, :, None]
+    bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=1)  # [tiles, kf]
+
     count = jnp.sum(ov_ct, axis=1).astype(jnp.int32)  # [tiles]
     k_eff = min(k_max, ks * fanout)
     # top_k of -tnear = the k_eff nearest overlapping clusters, ascending —
@@ -491,15 +514,18 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     _, sel = jax.lax.top_k(-tkey, k_eff)
     order = jnp.take_along_axis(members, sel, axis=1).astype(jnp.int32)
     order = jnp.minimum(order, c - 1)
+    bits = jnp.take_along_axis(bits_all, sel, axis=1).astype(jnp.int32)
     if k_eff < k_max:
         order = jnp.pad(order, ((0, 0), (0, k_max - k_eff)))
+        bits = jnp.pad(bits, ((0, 0), (0, k_max - k_eff)))
     else:
         order = order[:, :k_max]
+        bits = bits[:, :k_max]
     over = s_over | (count > k_eff)
     meta = jnp.stack(
         [jnp.minimum(count, k_eff), over.astype(jnp.int32)], axis=1
     )
-    return order, meta
+    return order, meta, bits
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -596,7 +622,7 @@ def closest_hit_clustered(
 
     f32 = jnp.float32
     if candidates > 0:
-        cand, meta = _tile_candidates(
+        cand, meta, bits = _tile_candidates(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates
         )
         k_width = candidates
@@ -605,6 +631,7 @@ def closest_hit_clustered(
         n_t = l_pad // rt
         cand = jnp.zeros((n_t, 1), jnp.int32)
         meta = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (n_t, 1))
+        bits = jnp.zeros((n_t, 1), jnp.int32)
         k_width = 1
     grid = (l_pad // rt,)
     kernel = partial(
@@ -614,50 +641,16 @@ def closest_hit_clustered(
     )
 
     n_tiles = l_pad // rt
-    out_shape = [
-        jax.ShapeDtypeStruct((l_pad, 1), f32),
-        jax.ShapeDtypeStruct((l_pad, 1), jnp.int32),
-        jax.ShapeDtypeStruct((l_pad, 1), f32),
-        jax.ShapeDtypeStruct((l_pad, 1), f32),
-        jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
-    ]
     ray_spec = pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tmin_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     stats_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    best_t, best_i, best_b, best_g, stats = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=[
-            ray_spec,
-            ray_spec,
-            tmin_spec,
-            full(),
-            full(),
-            full(),
-            full(),
-            full(),
-            full(),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
-        scratch_shapes=[
-            pltpu.VMEM((16, _dma_depth(candidates) * cluster_size), f32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((_dma_depth(candidates),)),
-        ],
-        interpret=interpret,
-    )(
-        origin.astype(f32),
-        direction.astype(f32),
-        tmin.astype(f32)[:, None],
+    o32 = origin.astype(f32)
+    d32 = direction.astype(f32)
+    tm32 = tmin.astype(f32)[:, None]
+    shared = (
         aabb_mn.astype(f32),
         aabb_mx.astype(f32),
         g_mn.astype(f32),
@@ -666,10 +659,70 @@ def closest_hit_clustered(
         s_mx.astype(f32),
         s_order,
         g_order,
-        cand,
-        meta,
-        tri_pack.astype(f32),
     )
+
+    def run(o_c, d_c, tm_c, cand_c, meta_c, bits_c):
+        tiles_c = o_c.shape[0] // rt
+        out_shape = [
+            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
+            jax.ShapeDtypeStruct((o_c.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
+            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
+            jax.ShapeDtypeStruct((tiles_c * 8, 128), jnp.int32),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(tiles_c,),
+            out_shape=out_shape,
+            in_specs=[
+                ray_spec,
+                ray_spec,
+                tmin_spec,
+                full(),
+                full(),
+                full(),
+                full(),
+                full(),
+                full(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
+            scratch_shapes=[
+                pltpu.VMEM((16, _dma_depth(candidates) * cluster_size), f32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA((_dma_depth(candidates),)),
+            ],
+            interpret=interpret,
+        )(o_c, d_c, tm_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
+
+    # The full-array candidate/meta/bits lists live in SMEM; chunk the
+    # grid so very large fans (hundreds of tiles) never exceed the
+    # scalar-memory budget — each chunk is an independent pallas_call.
+    max_tiles = max(1, _SMEM_LIST_BUDGET // ((2 * k_width + 2) * 4))
+    if n_tiles > max_tiles:
+        parts = []
+        for s0 in range(0, n_tiles, max_tiles):
+            s1 = min(s0 + max_tiles, n_tiles)
+            parts.append(
+                run(
+                    o32[s0 * rt : s1 * rt],
+                    d32[s0 * rt : s1 * rt],
+                    tm32[s0 * rt : s1 * rt],
+                    cand[s0:s1],
+                    meta[s0:s1],
+                    bits[s0:s1],
+                )
+            )
+        best_t, best_i, best_b, best_g, stats = (
+            jnp.concatenate([p[i] for p in parts], axis=0) for i in range(5)
+        )
+    else:
+        best_t, best_i, best_b, best_g, stats = run(o32, d32, tm32, cand, meta, bits)
 
     best_t = best_t[:l, 0]
     found = best_t < RT_DEFAULT_MAX

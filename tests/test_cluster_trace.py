@@ -214,21 +214,56 @@ def test_tile_candidates_match_exact_union():
     tmin = np.full(l, 0.005, np.float32)
     o, d, tmin = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin)
 
-    cand, meta = _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c)
-    cand, meta = np.asarray(cand), np.asarray(meta)
+    cand, meta, bits = _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c)
+    cand, meta, bits = np.asarray(cand), np.asarray(meta), np.asarray(bits)
     assert (meta[:, 1] == 0).all()  # k_max = c can never overflow
 
     best = jnp.full((l,), _BIG, jnp.float32)
+    rs = rt // st
     for t in range(l // rt):
         exact_set = set()
         for ci in range(c):
             ov = np.asarray(_slab_overlap(o, d, tmin, best, mn[ci], mx[ci]))
-            if ov[t * rt : (t + 1) * rt].any():
+            tile_ov = ov[t * rt : (t + 1) * rt]
+            if tile_ov.any():
                 exact_set.add(ci)
+                # per-sub-block bitmask must match the exact per-ray union
+                slot = list(cand[t, : meta[t, 0]]).index(ci)
+                want = sum(
+                    (1 << b) for b in range(st) if tile_ov[b * rs : (b + 1) * rs].any()
+                )
+                assert bits[t, slot] == want, (t, ci)
         assert set(cand[t, : meta[t, 0]].tolist()) == exact_set, t
     # sentinels never appear among candidates
     for t in range(l // rt):
         assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
+
+
+def test_grid_chunking_identical(monkeypatch):
+    """Forcing a tiny SMEM list budget must chunk the grid into multiple
+    pallas_calls with identical results."""
+    import rts_tpu.ops.cluster_trace as ct
+
+    scene = make_scene()
+    dev = scene_to_device(scene, dtype=jnp.float32)
+    mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
+    pack = pack_tri_fields(dev.tri_n, dev.tri_c1, dev.tri_c0, dev.tri_e1, dev.tri_e0, dev.tri_np0)
+    o, d, tm = _random_rays(l=4 * RT)
+
+    whole = closest_hit_clustered(
+        o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT, candidates=16, interpret=True
+    )
+    # (16+2)*4 = 72 bytes/tile; budget 80 -> 1 tile per chunk (4 chunks)
+    monkeypatch.setattr(ct, "_SMEM_LIST_BUDGET", 80)
+    ct.closest_hit_clustered.clear_cache()
+    chunked = closest_hit_clustered(
+        o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT, candidates=16, interpret=True
+    )
+    ct.closest_hit_clustered.clear_cache()
+    for name in ("t", "tri", "beta", "gamma", "found"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(whole, name)), np.asarray(getattr(chunked, name)), err_msg=name
+        )
 
 
 def test_supergroup_overflow_flags_tiles():
@@ -248,7 +283,7 @@ def test_supergroup_overflow_flags_tiles():
     o = np.tile(np.asarray([[-10.0, 0.0, 0.0]], np.float32), (l, 1))
     d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (l, 1))
     tmin = np.full(l, 0.005, np.float32)
-    cand, meta = _tile_candidates(
+    cand, meta, _bits = _tile_candidates(
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
@@ -258,7 +293,7 @@ def test_supergroup_overflow_flags_tiles():
     # perpendicular rays seeing only the first box: not flagged, exact
     d2 = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (l, 1))
     o2 = np.tile(np.asarray([[2.0, -5.0, 0.0]], np.float32), (l, 1))
-    cand2, meta2 = _tile_candidates(
+    cand2, meta2, _b2 = _tile_candidates(
         jnp.asarray(o2), jnp.asarray(d2), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
