@@ -210,6 +210,11 @@ def main():
         )
         import jax.numpy as jnp
 
+        if cfg.fan_order != "raster":
+            from rts_tpu.engine.fan import fan_tile_perm
+
+            fan = fan[jnp.asarray(fan_tile_perm(cfg.num_rays, cfg.fan_order))]
+
         tmin = jnp.full((fan.shape[0],), 0.005, jnp.float32)
         origin = jnp.broadcast_to(batch.tx_origin[0], fan.shape)
         _, stats = closest_hit_clustered(
