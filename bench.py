@@ -139,7 +139,7 @@ def main():
         help="double-single path replay ON (the production 1e-6 power/phase config)",
     )
     ap.add_argument(
-        "--replay-cap", type=int, default=4096,
+        "--replay-cap", type=int, default=1024,
         help="compact received lanes and replay only this many (0 = all); "
         "the bench scenes receive a few hundred lanes per pulse at most",
     )

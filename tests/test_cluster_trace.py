@@ -239,6 +239,50 @@ def test_tile_candidates_match_exact_union():
         assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
 
 
+@pytest.mark.parametrize("seed", [3, 17, 42])
+def test_fuzz_candidates_vs_bruteforce(seed):
+    """Randomized scenes + ray soups: candidate traversal must match the
+    dense reference exactly (found/tri/t), at any cluster fill level."""
+    rng = np.random.default_rng(seed)
+    meshes = []
+    for _ in range(rng.integers(2, 5)):
+        if rng.random() < 0.5:
+            m, _ = sphere_mesh(int(rng.integers(1, 3)), rng.uniform(10, 60))
+        else:
+            m = rect_mesh(
+                rng.uniform(1, 6), rng.uniform(40, 160), rng.uniform(40, 160),
+                yaw=rng.uniform(-0.8, 0.8), pitch=rng.uniform(-0.8, 0.8),
+            )
+        pos = [rng.uniform(-400, 1200), rng.uniform(-400, 400), rng.uniform(-200, 200)]
+        meshes.append(m.translated(pos))
+    scene = compile_scene(meshes, [0.9] * len(meshes), [1.0] * len(meshes))
+    scene = cluster_reorder(scene, cluster_size=CS)
+    dev = scene_to_device(scene, dtype=jnp.float32)
+
+    l = 2 * RT
+    o = rng.uniform(-500, 1300, (l, 3)).astype(np.float32)
+    d = rng.normal(size=(l, 3)).astype(np.float32)
+    o[:RT // 2] = 0.0  # coherent fan block
+    d[:RT // 2] = np.stack(
+        [np.ones(RT // 2), rng.uniform(-0.3, 0.3, RT // 2), rng.uniform(-0.3, 0.3, RT // 2)], -1
+    )
+    d[-16:] = 0.0  # dead lanes
+    d[l // 2 : l // 2 + 8, 1:] = 0.0  # axis-aligned
+    tmin = np.full(l, 0.005, np.float32)
+    o, dj, tm = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin)
+
+    ref = closest_hit_bruteforce(
+        o, dj, tm, dev.tri_p0, dev.tri_e0, dev.tri_e1, dev.tri_n,
+        dev.tri_c1, dev.tri_c0, dev.tri_np0, tri_chunk=128,
+    )
+    got = run_clustered(dev, o, dj, tm)
+    np.testing.assert_array_equal(np.asarray(got.found), np.asarray(ref.found))
+    f = np.asarray(ref.found)
+    assert f.sum() > 10
+    np.testing.assert_array_equal(np.asarray(got.tri)[f], np.asarray(ref.tri)[f])
+    np.testing.assert_allclose(np.asarray(got.t)[f], np.asarray(ref.t)[f], rtol=1e-6)
+
+
 def test_grid_chunking_identical(monkeypatch):
     """Forcing a tiny SMEM list budget must chunk the grid into multiple
     pallas_calls with identical results."""
