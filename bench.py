@@ -154,6 +154,9 @@ def main():
         args.tris, args.rays, args.pulses, args.repeat, args.tri_chunk = 320, 3, 2, 1, 128
         args.accel = "brute"
         args.cpi256 = False
+        # sphere scene: a 320-tri terrain is ~900 m random facets that
+        # capture nothing; the smoke should exercise capture+aggregation
+        args.scene = "sphere"
 
     import jax
 

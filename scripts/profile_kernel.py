@@ -25,7 +25,7 @@ args = ap.parse_args()
 bargs = argparse.Namespace(
     tris=1000000, rays=31, pulses=8, repeat=2, tri_chunk=2048,
     scene="terrain", accel="cluster", cluster_size=args.cluster_size,
-    ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=4, fan_order=args.fan_order, refine=False,
+    ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=8, fan_order=args.fan_order, refine=False,
     replay_cap=16384, tiny=False, cpi256=False, stats=False,
 )
 base, batch, cfg, spec, n_tris = B.build(bargs)

@@ -244,7 +244,7 @@ def test_fuzz_candidates_vs_bruteforce(seed):
     """Randomized scenes + ray soups: candidate traversal must match the
     dense reference exactly (found/tri/t), at any cluster fill level."""
     rng = np.random.default_rng(seed)
-    meshes = []
+    meshes, centres = [], []
     for _ in range(rng.integers(2, 5)):
         if rng.random() < 0.5:
             m, _ = sphere_mesh(int(rng.integers(1, 3)), rng.uniform(10, 60))
@@ -255,17 +255,20 @@ def test_fuzz_candidates_vs_bruteforce(seed):
             )
         pos = [rng.uniform(-400, 1200), rng.uniform(-400, 400), rng.uniform(-200, 200)]
         meshes.append(m.translated(pos))
+        centres.append(pos)
     scene = compile_scene(meshes, [0.9] * len(meshes), [1.0] * len(meshes))
     scene = cluster_reorder(scene, cluster_size=CS)
     dev = scene_to_device(scene, dtype=jnp.float32)
+    centres = np.asarray(centres)
 
     l = 2 * RT
+    # half the rays aim from random origins at random target CENTRES
+    # (with jitter) so hits are guaranteed; the rest are a random soup
     o = rng.uniform(-500, 1300, (l, 3)).astype(np.float32)
     d = rng.normal(size=(l, 3)).astype(np.float32)
-    o[:RT // 2] = 0.0  # coherent fan block
-    d[:RT // 2] = np.stack(
-        [np.ones(RT // 2), rng.uniform(-0.3, 0.3, RT // 2), rng.uniform(-0.3, 0.3, RT // 2)], -1
-    )
+    aim = centres[rng.integers(0, len(centres), l // 2)]
+    aim = aim + rng.uniform(-5, 5, aim.shape)
+    d[: l // 2] = (aim - o[: l // 2]).astype(np.float32)
     d[-16:] = 0.0  # dead lanes
     d[l // 2 : l // 2 + 8, 1:] = 0.0  # axis-aligned
     tmin = np.full(l, 0.005, np.float32)
