@@ -47,7 +47,11 @@ class LaneAggregate(NamedTuple):
     phase_lo: jnp.ndarray = None
 
 
-_DENSE_BIN_CAP = 8192  # max radix bins for the sort-free dense lowering
+# Max radix bins for the sort-free dense lowering.  The dense path
+# materialises [lanes, bins] one-hot operands, so the cap bounds the
+# transient at ~lanes*4KB (e.g. ~120 MB at 30k lanes); larger key
+# spaces (many targets x deep paths) take the sort path instead.
+_DENSE_BIN_CAP = 1024
 
 
 def aggregate_lanes(
