@@ -113,6 +113,10 @@ def aggregate_lanes(
         # path entries are target ids in [-1, NT); +1 maps them to a
         # radix-(NT+1) digit, so (rx, path row) <-> one bin, bijectively.
         gid = rx_key
+        # path entries are target ids in [-1, NT) by the engine's
+        # construction (tri_target is clipped before recording); the clip
+        # is defensive only — note an out-of-range id would alias onto
+        # target NT-1 here where the sort path would keep it distinct
         pk = jnp.clip(path, -1, num_targets - 1) + 1
         for k in range(d):
             gid = gid * radix + pk[:, k]
@@ -192,10 +196,13 @@ def aggregate_lanes(
     match = jnp.where(direct, rx_min_lane, grp_min)
     match = jnp.where(valid, match, r + 1)
 
+    # npath == 0 is possible only for invalid (never-emitted) lanes —
+    # every valid lane contributes w=1 to its own group — so the
+    # fallbacks are defensive; keep them uniformly "lane's own input".
     nz = npath > 0
     safe_n = jnp.where(nz, npath, 1.0)
     agg_power = jnp.where(nz, (v_sum / safe_n) ** 2, power)
-    agg_delay = jnp.where(nz, d_sum / safe_n, d_sum)
+    agg_delay = jnp.where(nz, d_sum / safe_n, delay)
     agg_dopp = jnp.where(nz, f_sum / safe_n, doppler)
     if phase_lo is not None:
         # phase mean in ds so the emitted (hi + lo) keeps replay precision

@@ -512,8 +512,9 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     # a partial selection, much cheaper than a full bitonic sort
     tkey = jnp.where(ov_ct, tnear_t, jnp.float32(jnp.inf))
     _, sel = jax.lax.top_k(-tkey, k_eff)
+    # (member indices are < s*fanout = c_pad1 by construction: top_k
+    # returns positions < s, so no clamp is needed)
     order = jnp.take_along_axis(members, sel, axis=1).astype(jnp.int32)
-    order = jnp.minimum(order, c - 1)
     bits = jnp.take_along_axis(bits_all, sel, axis=1).astype(jnp.int32)
     if k_eff < k_max:
         order = jnp.pad(order, ((0, 0), (0, k_max - k_eff)))
@@ -573,8 +574,36 @@ def closest_hit_clustered(
     """
     l = origin.shape[0]
     t_total = tri_pack.shape[1]
+    if t_total % cluster_size:
+        raise ValueError(
+            f"tri_pack columns ({t_total}) must be a multiple of cluster_size "
+            f"({cluster_size}) — pad via accel.cluster_reorder, else trailing "
+            "triangles would be silently dropped"
+        )
+    if ray_tile % sub_tiles:
+        raise ValueError(f"ray_tile ({ray_tile}) must be divisible by sub_tiles ({sub_tiles})")
     c = t_total // cluster_size
+    if aabb_mn.shape[0] != c or aabb_mx.shape[0] != c:
+        raise ValueError(f"AABB rows ({aabb_mn.shape[0]}) != cluster count ({c})")
     rt = ray_tile
+
+    # Narrow wider-dtype boxes to f32 OUTWARD: plain round-to-nearest can
+    # shrink a box below its (independently f32-rounded) triangles and
+    # cull a genuine graze hit.  (The production engine is f32 end-to-end;
+    # this only fires for f64 experiments.)
+    if aabb_mn.dtype != jnp.float32:
+        mn32 = aabb_mn.astype(jnp.float32)
+        mx32 = aabb_mx.astype(jnp.float32)
+        aabb_mn = jnp.where(
+            mn32.astype(aabb_mn.dtype) > aabb_mn,
+            jnp.nextafter(mn32, jnp.float32(-jnp.inf)),
+            mn32,
+        )
+        aabb_mx = jnp.where(
+            mx32.astype(aabb_mx.dtype) < aabb_mx,
+            jnp.nextafter(mx32, jnp.float32(jnp.inf)),
+            mx32,
+        )
 
     # Pad the cluster list to a group*supergroup multiple with [+inf,+inf]
     # boxes: a valid interval at infinite distance, rejected by the slab
