@@ -286,6 +286,33 @@ def test_fuzz_candidates_vs_bruteforce(seed):
     np.testing.assert_allclose(np.asarray(got.t)[f], np.asarray(ref.t)[f], rtol=1e-6)
 
 
+def test_f64_inputs_narrow_conservatively():
+    """float64 scenes exercise the outward box narrowing: the clustered
+    kernel must still find every hit the f64 brute reference finds."""
+    scene = make_scene()
+    dev = scene_to_device(scene, dtype=jnp.float64)
+    mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
+    assert mn.dtype == jnp.float64
+    pack = pack_tri_fields(dev.tri_n, dev.tri_c1, dev.tri_c0, dev.tri_e1, dev.tri_e0, dev.tri_np0)
+    o, d, tm = _random_rays(seed=5)
+    o, d, tm = o.astype(jnp.float64), d.astype(jnp.float64), tm.astype(jnp.float64)
+
+    ref = closest_hit_bruteforce(
+        o.astype(jnp.float32), d.astype(jnp.float32), tm.astype(jnp.float32),
+        *(a.astype(jnp.float32) for a in (dev.tri_p0, dev.tri_e0, dev.tri_e1, dev.tri_n,
+                                          dev.tri_c1, dev.tri_c0)), dev.tri_np0.astype(jnp.float32),
+        tri_chunk=64,
+    )
+    got = closest_hit_clustered(
+        o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT, candidates=64, interpret=True
+    )
+    # the kernel computes in f32 internally; culling must not lose hits
+    f = np.asarray(ref.found)
+    assert f.sum() > 15
+    np.testing.assert_array_equal(np.asarray(got.found), f)
+    np.testing.assert_array_equal(np.asarray(got.tri)[f], np.asarray(ref.tri)[f])
+
+
 def test_grid_chunking_identical(monkeypatch):
     """Forcing a tiny SMEM list budget must chunk the grid into multiple
     pallas_calls with identical results."""
