@@ -47,11 +47,26 @@ class LaneAggregate(NamedTuple):
     phase_lo: jnp.ndarray = None
 
 
-# Max radix bins for the sort-free dense lowering.  The dense path
-# materialises [lanes, bins] one-hot operands, so the cap bounds the
-# transient at ~lanes*4KB (e.g. ~120 MB at 30k lanes); larger key
-# spaces (many targets x deep paths) take the sort path instead.
+# Caps for the sort-free dense lowering.  The dense path materialises
+# [lanes, bins] one-hot operands, so BOTH dimensions bound the transient:
+# _DENSE_BIN_CAP limits the key space and _DENSE_BYTES_CAP the actual
+# lanes x bins x itemsize footprint (a 250k-lane 63^3 fan near the bin
+# cap would otherwise transiently allocate ~1 GB).  Scenes beyond either
+# cap take the sort path instead.
 _DENSE_BIN_CAP = 1024
+_DENSE_BYTES_CAP = 256 * 1024 * 1024
+
+# Integer lane ids and ds phase residuals ride through the f32 one-hot
+# contractions below; TPU's default f32 matmul demotes operands to bf16,
+# and even the framework-wide jax_default_matmul_precision pin
+# (rts_tpu/__init__.py) can be overridden by a user's
+# jax.default_matmul_precision context — so the precision is pinned
+# per-call on every precision-critical contraction.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGHEST)
 
 
 def aggregate_lanes(
@@ -98,6 +113,14 @@ def aggregate_lanes(
         phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
     volt = jnp.sqrt(power)
 
+    if fdtype == jnp.float32 and r + 1 >= (1 << 24):
+        # lane ids / group counts round-trip through f32 contractions,
+        # exact only below 2^24 — shard the fan (rts_tpu.parallel) or
+        # trace in float64 past that.
+        raise ValueError(
+            f"aggregate_lanes: {r} lanes exceeds the exact-int range of the "
+            "float32 one-hot reductions (2^24); shard the fan or use float64"
+        )
     lane = jnp.arange(r, dtype=jnp.int32)
     rx_key = jnp.where(valid, received, num_rx).astype(jnp.int32)
     vals = [w, volt * w, delay * w, phase * w, doppler * w]
@@ -108,7 +131,8 @@ def aggregate_lanes(
 
     radix = num_targets + 1
     n_bins = num_rx * radix**d + 1 if num_targets > 0 else _DENSE_BIN_CAP + 1
-    if n_bins <= _DENSE_BIN_CAP:
+    dense_bytes = r * n_bins * jnp.dtype(fdtype).itemsize
+    if n_bins <= _DENSE_BIN_CAP and dense_bytes <= _DENSE_BYTES_CAP:
         # ---- DENSE: perfect radix key -> one-hot matmul reductions.
         # path entries are target ids in [-1, NT); +1 maps them to a
         # radix-(NT+1) digit, so (rx, path row) <-> one bin, bijectively.
@@ -122,8 +146,8 @@ def aggregate_lanes(
             gid = gid * radix + pk[:, k]
         gid = jnp.where(valid, gid, n_bins - 1).astype(jnp.int32)
         oh = (gid[:, None] == jnp.arange(n_bins, dtype=jnp.int32)[None, :]).astype(fdtype)
-        seg_sums = oh.T @ vals  # [n_bins, M]  (w = 0 already zeroes invalid lanes)
-        lane_sums = oh @ seg_sums  # [R, M] back to lane space
+        seg_sums = _mm(oh.T, vals)  # [n_bins, M]  (w = 0 already zeroes invalid lanes)
+        lane_sums = _mm(oh, seg_sums)  # [R, M] back to lane space
         grp_n = lane_sums[:, 0]
         grp_volt = lane_sums[:, 1]
         grp_delay = lane_sums[:, 2]
@@ -134,7 +158,7 @@ def aggregate_lanes(
         seg_min = jnp.min(
             jnp.where(oh > 0, lane_or_big[:, None], jnp.asarray(r + 1, fdtype)), axis=0
         )
-        grp_min = (oh @ seg_min).astype(jnp.int32)
+        grp_min = _mm(oh, seg_min).astype(jnp.int32)
     else:
         # ---- SORT fallback: lexicographic sort by (rx, path row);
         # invalid lanes sort last
@@ -180,12 +204,12 @@ def aggregate_lanes(
     # lowers both scatters and tiny-operand gathers pathologically on TPU
     n_seg = num_rx + 1
     oh_rx = (rx_key[:, None] == jnp.arange(n_seg, dtype=jnp.int32)[None, :]).astype(fdtype)
-    rx_sums = oh_rx.T @ vals  # [n_seg, M]
-    rx_lane = oh_rx @ rx_sums  # [R, M]
+    rx_sums = _mm(oh_rx.T, vals)  # [n_seg, M]
+    rx_lane = _mm(oh_rx, rx_sums)  # [R, M]
     rx_min_seg = jnp.min(
         jnp.where(oh_rx > 0, lane_or_big[:, None], jnp.asarray(r + 1, fdtype)), axis=0
     )
-    rx_min_lane = (oh_rx @ rx_min_seg).astype(jnp.int32)
+    rx_min_lane = _mm(oh_rx, rx_min_seg).astype(jnp.int32)
 
     direct = valid & (refl_depth == 0) & (refr_depth == 0)
     npath = jnp.where(direct, rx_lane[:, 0], grp_n)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -189,9 +190,13 @@ def animate_packed(
     dtype = base.tri_verts_t.dtype
     onehot = (tid[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(dtype)
     rot9 = rot.reshape(nt, 9).astype(dtype)
-    r = [onehot @ rot9[:, i] for i in range(9)]  # 9 x [T] rotation components
+    # Precision pinned per-call: a user's jax.default_matmul_precision
+    # context would otherwise demote these f32 one-hot gathers to bf16
+    # and silently corrupt the rotation components (TPU-only).
+    hi = jax.lax.Precision.HIGHEST
+    r = [jnp.matmul(onehot, rot9[:, i], precision=hi) for i in range(9)]
     pos_t = pos.astype(dtype)
-    s = [jnp.where(pad, 0.0, onehot @ pos_t[:, i]) for i in range(3)]
+    s = [jnp.where(pad, 0.0, jnp.matmul(onehot, pos_t[:, i], precision=hi)) for i in range(3)]
     v = base.tri_verts_t  # [9, T], rows corner*3 + axis
 
     def corner(c):
@@ -236,13 +241,13 @@ def animate_packed(
         cmn = jnp.where(base.cl_valid[..., None], base.cl_mn, 0.0)
         cmx = jnp.where(base.cl_valid[..., None], base.cl_mx, 0.0)
         new_mn = (
-            jnp.einsum("tij,ctj->cti", rp, cmn)
-            + jnp.einsum("tij,ctj->cti", rn, cmx)
+            jnp.einsum("tij,ctj->cti", rp, cmn, precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum("tij,ctj->cti", rn, cmx, precision=jax.lax.Precision.HIGHEST)
             + pos_t[None]
         )
         new_mx = (
-            jnp.einsum("tij,ctj->cti", rp, cmx)
-            + jnp.einsum("tij,ctj->cti", rn, cmn)
+            jnp.einsum("tij,ctj->cti", rp, cmx, precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum("tij,ctj->cti", rn, cmn, precision=jax.lax.Precision.HIGHEST)
             + pos_t[None]
         )
         # dilate by the f32 transform rounding bound so the box still

@@ -43,6 +43,16 @@ from rts_tpu.engine.types import TraceConfig
 PI = np.pi
 
 
+def _mmh(a, b):
+    """One-hot contraction with per-call pinned HIGHEST precision: ds
+    residuals ride these f32 dots, and a user's
+    jax.default_matmul_precision('bfloat16') context would silently
+    corrupt them past the 1e-6 contract (TPU-only; invisible on CPU)."""
+    import jax
+
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 class RefineExtras(NamedTuple):
     """Per-pulse ds residuals + fan rotation ([P, ...] leading pulse axis).
 
@@ -159,15 +169,15 @@ def _gather_v3(hi, lo, idx) -> DS3:
 def _onehot_ds(hi, lo, targ, nt) -> DS:
     """Per-lane values from tiny [NT] ds tables via one-hot contraction."""
     oh = (targ[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    return DS(oh @ hi.astype(jnp.float32), oh @ lo.astype(jnp.float32))
+    return DS(_mmh(oh, hi.astype(jnp.float32)), _mmh(oh, lo.astype(jnp.float32)))
 
 
 def _onehot_v3(hi, lo, targ, nt) -> DS3:
     oh = (targ[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     return DS3(
-        DS(oh @ hi[:, 0].astype(jnp.float32), oh @ lo[:, 0].astype(jnp.float32)),
-        DS(oh @ hi[:, 1].astype(jnp.float32), oh @ lo[:, 1].astype(jnp.float32)),
-        DS(oh @ hi[:, 2].astype(jnp.float32), oh @ lo[:, 2].astype(jnp.float32)),
+        DS(_mmh(oh, hi[:, 0].astype(jnp.float32)), _mmh(oh, lo[:, 0].astype(jnp.float32))),
+        DS(_mmh(oh, hi[:, 1].astype(jnp.float32)), _mmh(oh, lo[:, 1].astype(jnp.float32))),
+        DS(_mmh(oh, hi[:, 2].astype(jnp.float32)), _mmh(oh, lo[:, 2].astype(jnp.float32))),
     )
 
 
@@ -297,10 +307,10 @@ def _replay_core(
         # animated vertices in ds: v = R @ v_base + pos  (matches the f64
         # host animation semantics, animate.py / ray_tracer.cpp:1004-1014)
         oh = (targ[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(f32)
-        r9h = oh @ rot_hi9  # [L, 9]
-        r9l = oh @ rot_lo9
-        p_hi = oh @ pos.astype(f32)
-        p_lo = oh @ extras.pos_lo.astype(f32)
+        r9h = _mmh(oh, rot_hi9)  # [L, 9]
+        r9l = _mmh(oh, rot_lo9)
+        p_hi = _mmh(oh, pos.astype(f32))
+        p_lo = _mmh(oh, extras.pos_lo.astype(f32))
         shift = _v3(p_hi, p_lo)
 
         def animate(corner):

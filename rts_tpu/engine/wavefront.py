@@ -175,7 +175,8 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         _oh = (targ_safe[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(dtype)
 
         def _tgather(a):  # [NT] or [NT, k] -> per-lane values
-            return _oh @ a.astype(dtype)
+            # precision pinned: integer target attrs ride this f32 dot
+            return jnp.matmul(_oh, a.astype(dtype), precision=jax.lax.Precision.HIGHEST)
 
     else:
 

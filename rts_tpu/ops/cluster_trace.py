@@ -19,10 +19,12 @@ in-kernel scalar branching, not arithmetic, is what bounds a flat sweep):
   the in-kernel fallback sweep.
 
   PHASE 2 (this kernel, one grid step per ray tile): loop over ONLY the
-  tile's candidates with an 8-deep DMA prefetch pipeline (every
-  candidate is a real overlap, so fetches are unconditional and the
-  ~us per-copy latency is hidden).  The MT test runs per ray sub-block,
-  each gated by its own slab test carrying the running-best prune, as
+  tile's candidates (two per loop step, halving the scalar loop-control
+  overhead) with an 8-deep DMA prefetch pipeline (every candidate is a
+  real overlap, so fetches are unconditional and the ~us per-copy
+  latency is hidden).  The MT test runs per ray sub-block, each gated by
+  its phase-1 precomputed overlap bit (candidate mode — no in-kernel
+  slab or running-best prune on the MT; sweep mode keeps both), as
   broadcast-sum K=3 contractions (VPU work — see engine/intersect.py).
   Flagged overflow tiles instead walk the full supergroup/group/cluster
   hierarchy (the pre-candidate design, kept as the always-correct path).
@@ -57,14 +59,22 @@ _P1_SUPER_K = 16
 
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
-# tiles than fit are chunked into independent pallas_calls.
-_SMEM_LIST_BUDGET = 64 * 1024
+# tiles than fit are chunked into independent pallas_calls.  Env override
+# for hardware experiments (bytes).
+import os as _os
+
+_SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 64 * 1024))
 
 
 def _dma_depth(k_max: int) -> int:
     """Cluster-DMA pipeline depth: deep prefetch in candidate mode (hides
-    the ~us per-copy latency), classic double-buffer for the sweep."""
-    return max(2, min(8, k_max)) if k_max > 0 else 2
+    the ~us per-copy latency), classic double-buffer for the sweep.
+    Always EVEN so the pair-MT path's (even slot, slot+1) windows are
+    contiguous and never wrap the circular scratch."""
+    if k_max <= 0:
+        return 2
+    d = max(2, min(8, k_max))
+    return d + (d % 2)
 
 
 def _slab_overlap(o, d, tmin, best, mn, mx):
@@ -172,24 +182,36 @@ def _mt_kernel(
     rt = o.shape[0]
     rs = rt // sub_tiles
 
-    def process(c, slot, bits=None):
-        """MT-test cluster ``c`` whose tile sits in scratch ``slot``.
+    def process(c_list, slot0, bits_list=None):
+        """MT-test ``len(c_list)`` clusters sitting in CONTIGUOUS scratch
+        slots starting at ``slot0`` as ONE [rows, m*cs] evaluation.
 
         The AABB overlap mask is deliberately NOT part of validity: a hit
         triangle always lies inside its own cluster's box, so the exact
         MT predicates subsume it — which is what lets processing be
         deferred past the slab stage for DMA/compute overlap.
 
-        Rays are processed in ``sub_tiles`` row blocks — only blocks that
-        overlap this cluster pay the (VPU-peak-bound) MT flops.  The gate
-        is the phase-1 precomputed bitmask when ``bits`` is given
-        (candidate mode: one scalar test, no vector slab + scalar-sync
-        ``any`` per block; the trade is losing the running-best prune on
-        the MT, which only skipped ~12% of blocks on the bench), else an
-        in-kernel slab test with the running-best prune (sweep mode).
+        Rays are processed in ``sub_tiles`` row blocks.  The gate is the
+        OR of the clusters' phase-1 bitmask bits when ``bits_list`` is
+        given (candidate mode: one scalar test, no vector slab +
+        scalar-sync ``any`` per block; the trade is losing the
+        running-best prune on the MT, which only skipped ~12% of blocks
+        on the bench), else an in-kernel slab test with the running-best
+        prune (sweep mode, single cluster).
+
+        PAIRING (m=2, candidate mode): one loop step, one branch per
+        sub-block, one epilogue and one t/i/b/g read-modify-write cover
+        TWO candidates — the per-candidate fixed cost (~2 us of DMA wait
+        + sequencing + epilogue vs ~1 us of MT flops) halves.  A valid
+        hit can only exist where the triangle's own cluster bit is set
+        (hit => ray passes through the cluster AABB => phase-1 exact slab
+        overlap), so union-gating never misses; columns of the nearer
+        candidate come first, preserving the near-to-far tie-break —
+        results are BIT-IDENTICAL to sequential processing.
         """
-        off = pl.multiple_of(slot * cs, cs)
-        pack = pack_s[:, pl.ds(off, cs)]
+        m = len(c_list)
+        off = pl.multiple_of(slot0 * cs, cs)
+        pack = pack_s[:, pl.ds(off, m * cs)]
         n_t = pack[0:3, :]
         c1_t = pack[3:6, :]
         c0_t = pack[6:9, :]
@@ -199,13 +221,18 @@ def _mt_kernel(
 
         for k in range(sub_tiles):
             rows = slice(k * rs, (k + 1) * rs)
-            if bits is None:
+            if bits_list is None:
+                assert m == 1
                 sub_overlap = _slab_overlap(
-                    o[rows], d[rows], tmin[rows], t_out[rows, 0], mn_ref[c, :], mx_ref[c, :]
+                    o[rows], d[rows], tmin[rows], t_out[rows, 0],
+                    mn_ref[c_list[0], :], mx_ref[c_list[0], :],
                 )
                 gate = jnp.any(sub_overlap)
             else:
-                gate = ((bits >> k) & 1) != 0
+                union = bits_list[0]
+                for b in bits_list[1:]:
+                    union = union | b
+                gate = ((union >> k) & 1) != 0
 
             @pl.when(gate)
             def _(rows=rows, k=k):
@@ -230,17 +257,26 @@ def _mt_kernel(
                 # One-hot select of the winning column (first minimum) —
                 # per-row gather is not lowerable on TPU.  Extracting the
                 # winner's barycentrics here measures CHEAPER than
-                # recomputing them outside from gathered pack columns
-                # (a [16, T] column gather strides T*4 bytes per element
-                # — measured +2.8 ms/pulse when tried).
+                # recomputing them outside from gathered pack columns:
+                # a [16, T] column gather strides T*4 bytes per element —
+                # measured +2.8 ms/pulse in round 2 AND re-confirmed in
+                # round 3 (the epilogue-split variant that returned only
+                # (t, tri) and gathered outside benched 1.47e6 vs 1.82e6
+                # rays/s — the ~25% in-loop epilogue saving does not
+                # cover the strided gather).
                 cols = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
                 j = jnp.min(jnp.where(t_m == tj[:, None], cols, jnp.int32(2**30)), axis=1)
                 onehot = cols == j[:, None]
                 beta_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=1)
                 gamma_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1)
+                # global triangle index: column block q belongs to cluster
+                # c_list[q] (j is folded right-to-left so m=1 is branch-free)
+                tri = c_list[-1] * cs + (j - (m - 1) * cs)
+                for q in range(m - 2, -1, -1):
+                    tri = jnp.where(j < (q + 1) * cs, c_list[q] * cs + (j - q * cs), tri)
                 better = tj < t_out[rows, 0]
                 t_out[rows, 0] = jnp.where(better, tj, t_out[rows, 0])
-                i_out[rows, 0] = jnp.where(better, c * cs + j, i_out[rows, 0])
+                i_out[rows, 0] = jnp.where(better, tri, i_out[rows, 0])
                 b_out[rows, 0] = jnp.where(better, beta_j, b_out[rows, 0])
                 g_out[rows, 0] = jnp.where(better, gamma_j, g_out[rows, 0])
 
@@ -258,7 +294,7 @@ def _mt_kernel(
         def _():
             prev = 1 - slot
             get_dma(cp_id, prev).wait()
-            process(cp_id, prev)
+            process([cp_id], prev)
 
         return (jnp.int32(1), jnp.int32(c), cnt + jnp.int32(1))
 
@@ -314,10 +350,13 @@ def _mt_kernel(
         # ``nbuf``-deep DMA pipeline — every candidate is an EXACT per-ray
         # overlap, so all of them are prefetched unconditionally (the
         # 2-deep wait-then-process chain was DMA-latency-bound at ~6 us
-        # per candidate when compute per cluster is only ~1-3 us); the
-        # per-sub-block slab tests keep the running-best prune on the MT
-        # flops.  Overflowed tiles (more overlaps than the list holds)
-        # take the full hierarchical sweep instead.
+        # per candidate when compute per cluster is only ~1-3 us); each
+        # sub-block's MT is gated by its phase-1 overlap bit (no in-kernel
+        # slab test or running-best prune — the bit is one scalar test).
+        # Two candidates are processed per fori step to halve the scalar
+        # loop-control overhead (~2 us/candidate was sequencing + DMA wait
+        # + epilogue, vs ~1 us of MT flops).  Overflowed tiles (more
+        # overlaps than the list holds) take the full hierarchical sweep.
         tile = pl.program_id(0)
 
         def cand_path(cr):
@@ -330,20 +369,40 @@ def _mt_kernel(
                 def _(b=b):
                     get_dma(cand_ref[tile, b], b).start()
 
-            def cand_step(i, c2):
-                slot = jax.lax.rem(i, jnp.int32(nbuf))
-                c = cand_ref[tile, i]
-                get_dma(c, slot).wait()
-                process(c, slot, bits=bits_ref[tile, i])
+            def refill(i, slot):
                 nxt = i + jnp.int32(nbuf)
 
                 @pl.when(nxt < n_cand)
                 def _():
                     get_dma(cand_ref[tile, nxt], slot).start()
 
+            def cand_step(s, c2):
+                # s < (n_cand+1)//2 implies i < n_cand.  nbuf is even and
+                # i is even, so slot is even and slot+1 never wraps — the
+                # pair occupies contiguous scratch columns.
+                i = 2 * s
+                slot = jax.lax.rem(i, jnp.int32(nbuf))
+                c_a = cand_ref[tile, i]
+                get_dma(c_a, slot).wait()
+
+                @pl.when(i + 1 < n_cand)
+                def _():
+                    c_b = cand_ref[tile, i + 1]
+                    get_dma(c_b, slot + 1).wait()
+                    process(
+                        [c_a, c_b], slot,
+                        bits_list=[bits_ref[tile, i], bits_ref[tile, i + 1]],
+                    )
+                    refill(i + 1, slot + 1)
+
+                @pl.when(i + 1 >= n_cand)
+                def _():
+                    process([c_a], slot, bits_list=[bits_ref[tile, i]])
+
+                refill(i, slot)
                 return c2
 
-            jax.lax.fori_loop(0, n_cand, cand_step, jnp.int32(0))
+            jax.lax.fori_loop(0, (n_cand + 1) // 2, cand_step, jnp.int32(0))
             return cr
 
         pending, cp_id, cnt = jax.lax.cond(
@@ -360,7 +419,7 @@ def _mt_kernel(
     def _():
         last = jnp.int32(1) - jax.lax.rem(cnt, jnp.int32(2))
         get_dma(cp_id, last).wait()
-        process(cp_id, last)
+        process([cp_id], last)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)

@@ -86,3 +86,52 @@ def rx_sphere_geometry(
         min_phi=phi0 - ph_span / 2,
         max_phi=phi0 + ph_span / 2,
     )
+
+
+def rx_sphere_geometry_device(
+    rx_pos,  # [..., 3] receiver positions (any leading batch shape)
+    rx_azimuth,  # [...]
+    rx_elevation,  # [...]
+    sphere_radius,  # [...]
+    theta_span,  # [...]
+    phi_span,  # [...]
+    dtype=None,
+):
+    """ON-DEVICE sphere placement + acceptance windows (jnp, batched).
+
+    The device-buffer analogue of the reference's per-pulse host loop
+    (ray_tracer.cpp:894-925): for very long CPIs the whole [P, NR] pulse
+    x receiver geometry evaluates in one fused device computation from
+    waypoint arrays, leaving host prep flat in pulse count.  Same math
+    as :func:`rx_sphere_geometry` without the float32-trig parity
+    narrowing (in an f32 engine everything is f32 anyway); returns an
+    ``RxSphereGeometry`` of jnp arrays with the input batch shape.
+    Incompatible with ``refine=True`` (the ds replay needs f64 host
+    centres for its residuals — prepare_cpi keeps host prep there).
+    """
+    import jax.numpy as jnp
+
+    rx_pos = jnp.asarray(rx_pos, dtype)
+    dtype = dtype or rx_pos.dtype
+    az = jnp.asarray(rx_azimuth, dtype)
+    el = jnp.asarray(rx_elevation, dtype)
+    r = jnp.asarray(sphere_radius, dtype)
+    cos_el, sin_el = jnp.cos(el), jnp.sin(el)
+    cos_az, sin_az = jnp.cos(az), jnp.sin(az)
+    offset = jnp.stack(
+        [(r * cos_el) * cos_az, (r * cos_el) * sin_az, r * sin_el], axis=-1
+    )
+    centre = rx_pos + offset
+    d = rx_pos - centre
+    theta0 = jnp.arctan2(d[..., 1], d[..., 0])
+    phi0 = jnp.arctan2(d[..., 2], jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2))
+    th2 = jnp.asarray(theta_span, dtype) / 2
+    ph2 = jnp.asarray(phi_span, dtype) / 2
+    return RxSphereGeometry(
+        centre=centre,
+        radius=r,
+        min_theta=theta0 - th2,
+        max_theta=theta0 + th2,
+        min_phi=phi0 - ph2,
+        max_phi=phi0 + ph2,
+    )

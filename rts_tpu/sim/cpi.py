@@ -23,31 +23,98 @@ from rts_tpu.sim.waveform import TransmitterPulse
 from rts_tpu.sim.world import World
 
 
+# Named option bundles for ``prepare_cpi``.  "production" is the
+# measured-best TPU configuration from the bench ledger (docs/PERF.md):
+# clustered Pallas traversal, 512-triangle clusters, 512-ray tiles with
+# 8 bit-gated sub-blocks, 32-wide candidate lists, and the double-single
+# path replay ON so the f32 engine meets the reference's double-precision
+# 1e-6 power/phase contract (ray_tracer.h:13-28).
+PRESETS = {
+    "production": dict(
+        accel="cluster",
+        cluster_size=512,
+        ray_tile=512,
+        candidates=32,
+        sub_tiles=8,
+        refine=True,
+        replay_cap=1024,
+    ),
+    # exact-parity oracle configuration: dense f64 engine with the
+    # reference's float32 narrowing points applied
+    "parity": dict(strict_parity=True),
+}
+
+_PREPARE_DEFAULTS = dict(
+    strict_parity=False,
+    tri_chunk=512,
+    pad_tris_to=1,
+    accel="brute",
+    cluster_size=256,
+    ray_tile=256,
+    candidates=64,
+    sub_tiles=4,
+    fan_order="raster",
+    interpret=False,
+    refine=False,
+    replay_cap=0,
+    # Evaluate the [P, NR] receiver-sphere geometry ON DEVICE in one
+    # fused computation (physics/receiver_geom.rx_sphere_geometry_device)
+    # instead of host NumPy — keeps host prep flat for very long CPIs.
+    # Incompatible with refine=True (the replay needs f64 host centres).
+    rx_geom_on_device=False,
+)
+
+
 def prepare_cpi(
     world: World,
     params: Parameters,
     *,
     tx_index: int = 0,
     dtype=jnp.float32,
-    strict_parity: bool = False,
-    tri_chunk: int = 512,
-    pad_tris_to: int = 1,
-    accel: str = "brute",
-    cluster_size: int = 256,
-    ray_tile: int = 256,
-    candidates: int = 64,
-    sub_tiles: int = 4,
-    fan_order: str = "raster",
-    interpret: bool = False,
-    refine: bool = False,
-    replay_cap: int = 0,
+    preset: str | None = None,
+    **options,
 ):
     """Compile (base scene, pulse batch, cfg, spec) for one transmitter's CPI.
+
+    ``preset`` selects a named option bundle (``PRESETS``); explicit
+    keyword options override the preset.  ``preset="production"`` is the
+    measured-best TPU configuration and the recommended starting point.
+    Recognised options and their bare defaults: ``strict_parity=False,
+    tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
+    ray_tile=256, candidates=64, sub_tiles=4, fan_order="raster",
+    interpret=False, refine=False, replay_cap=0``.
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
     (engine/replay.py), so the f32 engine meets the reference's
     double-precision 1e-6 power/phase contract."""
+    opts = dict(_PREPARE_DEFAULTS)
+    if preset is not None:
+        if preset not in PRESETS:
+            raise ValueError(f"unknown preset {preset!r}; available: {sorted(PRESETS)}")
+        opts.update(PRESETS[preset])
+    unknown = set(options) - set(opts)
+    if unknown:
+        raise TypeError(f"prepare_cpi() got unexpected options {sorted(unknown)}")
+    opts.update(options)
+    strict_parity = opts["strict_parity"]
+    tri_chunk = opts["tri_chunk"]
+    pad_tris_to = opts["pad_tris_to"]
+    accel = opts["accel"]
+    cluster_size = opts["cluster_size"]
+    ray_tile = opts["ray_tile"]
+    candidates = opts["candidates"]
+    sub_tiles = opts["sub_tiles"]
+    fan_order = opts["fan_order"]
+    interpret = opts["interpret"]
+    refine = opts["refine"]
+    replay_cap = opts["replay_cap"]
+    rx_geom_on_device = opts["rx_geom_on_device"]
+    if rx_geom_on_device and refine:
+        raise ValueError(
+            "rx_geom_on_device=True is incompatible with refine=True: the ds "
+            "replay needs the f64 host receiver centres for its residuals"
+        )
     trans = world.transmitters[tx_index]
     signal = TransmitterPulse()
     trans.GetPulse(signal, 0)
@@ -98,23 +165,45 @@ def prepare_cpi(
         rx_el = np.stack(
             [np.broadcast_to(rx.GetRotation(times)[1], times.shape) for rx in world.receivers], axis=1
         ).astype(np.float64)
-        g = rx_sphere_geometry(
-            rx_pos.reshape(-1, 3),
-            rx_az.reshape(-1),
-            rx_el.reshape(-1),
-            np.tile(spheres[:, 0], pulse_count),
-            np.tile(spheres[:, 1], pulse_count),
-            np.tile(spheres[:, 2], pulse_count),
-            strict_parity=True,
-        )
-        geo = {
-            "centre": g.centre.reshape(pulse_count, num_rx, 3),
-            "radius": g.radius.reshape(pulse_count, num_rx),
-            "min_theta": g.min_theta.reshape(pulse_count, num_rx),
-            "max_theta": g.max_theta.reshape(pulse_count, num_rx),
-            "min_phi": g.min_phi.reshape(pulse_count, num_rx),
-            "max_phi": g.max_phi.reshape(pulse_count, num_rx),
-        }
+        if rx_geom_on_device:
+            # one fused [P, NR] device evaluation from waypoint arrays
+            from rts_tpu.physics.receiver_geom import rx_sphere_geometry_device
+
+            g = rx_sphere_geometry_device(
+                jnp.asarray(rx_pos, dtype),
+                jnp.asarray(rx_az, dtype),
+                jnp.asarray(rx_el, dtype),
+                jnp.broadcast_to(jnp.asarray(spheres[:, 0], dtype), (pulse_count, num_rx)),
+                jnp.broadcast_to(jnp.asarray(spheres[:, 1], dtype), (pulse_count, num_rx)),
+                jnp.broadcast_to(jnp.asarray(spheres[:, 2], dtype), (pulse_count, num_rx)),
+                dtype=dtype,
+            )
+            geo = {
+                "centre": g.centre,
+                "radius": g.radius,
+                "min_theta": g.min_theta,
+                "max_theta": g.max_theta,
+                "min_phi": g.min_phi,
+                "max_phi": g.max_phi,
+            }
+        else:
+            g = rx_sphere_geometry(
+                rx_pos.reshape(-1, 3),
+                rx_az.reshape(-1),
+                rx_el.reshape(-1),
+                np.tile(spheres[:, 0], pulse_count),
+                np.tile(spheres[:, 1], pulse_count),
+                np.tile(spheres[:, 2], pulse_count),
+                strict_parity=True,
+            )
+            geo = {
+                "centre": g.centre.reshape(pulse_count, num_rx, 3),
+                "radius": g.radius.reshape(pulse_count, num_rx),
+                "min_theta": g.min_theta.reshape(pulse_count, num_rx),
+                "max_theta": g.max_theta.reshape(pulse_count, num_rx),
+                "min_phi": g.min_phi.reshape(pulse_count, num_rx),
+                "max_phi": g.max_phi.reshape(pulse_count, num_rx),
+            }
     else:
         rx_pos = np.zeros((pulse_count, 0, 3))
         geo = {
@@ -146,16 +235,19 @@ def prepare_cpi(
             a = np.asarray(a, np.float64)
             return jnp.asarray((a - a.astype(np.float32).astype(np.float64)).astype(np.float32))
 
-        # per-pulse fan rotation r1 @ rz in f64 (mirrors engine/fan.py)
-        fan_rot = np.zeros((pulse_count, 3, 3))
-        bore = np.zeros((pulse_count, 3))
-        for i in range(pulse_count):
-            az, el = float(txd[i, 0]), float(txd[i, 1])
-            rz = rot_z(np.float64(az), xp=np)
-            orth = rz[:, 1] / np.linalg.norm(rz[:, 1])
-            r1 = rot_axis_reversed(orth, np.float64(el), xp=np)
-            fan_rot[i] = r1 @ rz
-            bore[i] = [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)]
+        # per-pulse fan rotation r1 @ rz in f64 (mirrors engine/fan.py),
+        # fully vectorised over the pulse axis — host prep stays flat in
+        # P (a per-pulse Python loop here was the 10k-pulse prep wall)
+        az = txd[:, 0].astype(np.float64)
+        el = txd[:, 1].astype(np.float64)
+        rz = rot_z(az, xp=np)  # [P, 3, 3]
+        orth = rz[:, :, 1]
+        orth = orth / np.linalg.norm(orth, axis=-1, keepdims=True)
+        r1 = rot_axis_reversed(orth, el, xp=np)
+        fan_rot = r1 @ rz
+        bore = np.stack(
+            [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
+        )
         rx_c = np.asarray(geo["centre"], np.float64)
         rx_r = np.asarray(geo["radius"], np.float64)
         extras = RefineExtras(
@@ -210,6 +302,36 @@ def prepare_cpi(
     return base, batch, cfg, spec
 
 
+def check_replay_overflow(out: CpiResult, cfg: TraceConfig, *, warn: bool = True):
+    """Guard the ds-replay precision contract against cap overflow.
+
+    ``cfg.replay_cap`` bounds how many received lanes the extended-
+    precision replay re-evaluates (engine/replay.py); lanes beyond the
+    cap silently keep f32 values, breaking the reference's 1e-6
+    power/phase contract (ray_tracer.h:13-28).  Returns the per-pulse
+    received-lane counts ([P] int array) and, when ``warn`` and any
+    pulse exceeds the cap, raises a loud ``UserWarning`` naming the
+    worst pulse so the downgrade can never pass unnoticed.  Call it on
+    every production trace; ``run_cpi`` does so automatically.
+    """
+    import warnings as _warnings
+
+    counts = np.asarray((np.asarray(out.received) >= 0).sum(axis=1))
+    if cfg.refine and cfg.replay_cap and counts.size:
+        worst = int(counts.max())
+        if worst > cfg.replay_cap:
+            over = int((counts > cfg.replay_cap).sum())
+            msg = (
+                f"ds replay cap overflow: {over} pulse(s) received more lanes "
+                f"than replay_cap={cfg.replay_cap} (worst {worst}); lanes beyond "
+                "the cap keep f32 precision and BREAK the 1e-6 power/phase "
+                "contract. Raise replay_cap (or set 0 = replay all lanes)."
+            )
+            if warn:
+                _warnings.warn(msg, UserWarning, stacklevel=2)
+    return counts
+
+
 def run_all_cpi(world: World, params: Parameters, **kw) -> list:
     """Trace every transmitter's CPI (the outer loop of rs::RTS,
     ray_tracer.cpp:806); returns one CpiResult per transmitter."""
@@ -225,31 +347,23 @@ def run_cpi(
     *,
     tx_index: int = 0,
     dtype=jnp.float32,
-    strict_parity: bool = False,
-    tri_chunk: int = 512,
-    accel: str = "brute",
-    cluster_size: int = 1024,
-    ray_tile: int = 256,
-    interpret: bool = False,
-    refine: bool = False,
+    preset: str | None = None,
     attach_responses: bool = True,
+    **options,
 ) -> CpiResult:
     """Trace one transmitter's whole CPI in a single jit call, then
-    (optionally) attach Responses exactly like the sequential driver."""
+    (optionally) attach Responses exactly like the sequential driver.
+    ``preset``/``options`` are forwarded to :func:`prepare_cpi`."""
     base, batch, cfg, spec = prepare_cpi(
         world,
         params,
         tx_index=tx_index,
         dtype=dtype,
-        strict_parity=strict_parity,
-        tri_chunk=tri_chunk,
-        accel=accel,
-        cluster_size=cluster_size,
-        ray_tile=ray_tile,
-        interpret=interpret,
-        refine=refine,
+        preset=preset,
+        **options,
     )
     out = trace_cpi(base, batch, cfg, spec)
+    check_replay_overflow(out, cfg)
 
     if attach_responses:
         trans = world.transmitters[tx_index]

@@ -73,6 +73,107 @@ def test_256_pulse_cpi_range_doppler():
     assert abs(row - exp_row) <= 1
 
 
+def test_production_preset():
+    """preset="production" must yield the measured-best TraceConfig
+    (docs/PERF.md ledger) with explicit options overriding the preset,
+    and reject unknown presets/options loudly."""
+    import pytest
+
+    from rts_tpu.sim import PRESETS, prepare_cpi
+
+    w = make_world(num_pulses=1)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float32, preset="production")
+    p = PRESETS["production"]
+    assert cfg.accel == p["accel"] == "cluster"
+    assert cfg.cluster_size == p["cluster_size"]
+    assert cfg.ray_tile == p["ray_tile"]
+    assert cfg.candidates == p["candidates"]
+    assert cfg.sub_tiles == p["sub_tiles"]
+    assert cfg.refine and cfg.replay_cap == p["replay_cap"]
+    assert batch.refine is not None  # ds residuals shipped
+    # explicit options override the preset
+    _, _, cfg2, _ = prepare_cpi(
+        w, params, dtype=jnp.float32, preset="production", candidates=8, interpret=True
+    )
+    assert cfg2.candidates == 8 and cfg2.interpret and cfg2.accel == "cluster"
+    with pytest.raises(ValueError, match="unknown preset"):
+        prepare_cpi(w, params, preset="warp-speed")
+    with pytest.raises(TypeError, match="unexpected options"):
+        prepare_cpi(w, params, cluster_sise=512)
+
+
+def test_production_preset_traces():
+    """The full production pipeline (cluster + candidates + replay) runs
+    end-to-end in interpret mode and meets the 1e-6 bar vs f64."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+
+    w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    b64, batch64, cfg64, spec64 = prepare_cpi(w, params, dtype=jnp.float64)
+    ref = trace_cpi(b64, batch64, cfg64, spec64)
+    base, batch, cfg, spec = prepare_cpi(
+        w, params, dtype=jnp.float32, preset="production", interpret=True,
+        cluster_size=128, ray_tile=128,  # tiny-scene-sized kernel blocks
+    )
+    out = trace_cpi(base, batch, cfg, spec)
+    got = np.asarray(ref.received) >= 0
+    assert got.sum() > 0
+    np.testing.assert_array_equal(np.asarray(out.received), np.asarray(ref.received))
+    pw_ref = np.asarray(ref.power, np.float64)[got]
+    pw = np.asarray(out.power, np.float64)[got]
+    assert np.abs(pw / pw_ref - 1.0).max() < 1e-6
+
+
+def test_rx_geom_on_device_matches_host():
+    """The on-device [P, NR] receiver-geometry path must match the host
+    NumPy prep (same formulas; f64 here so both are exact) and trace to
+    identical captures."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+
+    w = make_world(num_pulses=3, rotating=True, target_speed=40.0)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    _, bh, _, _ = prepare_cpi(w, params, dtype=jnp.float64)
+    base, bd, cfg, spec = prepare_cpi(w, params, dtype=jnp.float64, rx_geom_on_device=True)
+    # the host path applies the reference's float32-trig parity narrowing
+    # (receiver_geom strict_parity=True); the device path computes clean
+    # trig — agreement is the f32 trig floor (~1e-7), not f64 exact
+    for name in ("centre", "radius", "min_theta", "max_theta", "min_phi", "max_phi"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(bd.rx_geom, name)),
+            np.asarray(getattr(bh.rx_geom, name)),
+            rtol=1e-6, atol=5e-6, err_msg=name,
+        )
+    out = trace_cpi(base, bd, cfg, spec)
+    assert int((np.asarray(out.received) >= 0).sum()) > 0
+    # refine needs f64 host centres — the combination must be rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="rx_geom_on_device"):
+        prepare_cpi(w, params, dtype=jnp.float32, refine=True, rx_geom_on_device=True)
+
+
+def test_10k_pulse_prep_flat():
+    """Host prep stays flat in pulse count with the production options ON
+    (refine extras are fully vectorised — no per-pulse Python loop): a
+    10k-pulse CPI must prep in bounded time without tracing."""
+    import time
+
+    from rts_tpu.sim import prepare_cpi
+
+    w = make_world(num_pulses=10000, rotating=True, target_speed=30.0)
+    t0 = time.perf_counter()
+    base, batch, cfg, spec = prepare_cpi(
+        w, Parameters(num_rays=2, max_refl_depth=2), dtype=jnp.float32, refine=True
+    )
+    prep_s = time.perf_counter() - t0
+    assert batch.times.shape == (10000,)
+    assert batch.refine is not None and batch.refine.fan_rot_hi.shape[0] == 10000
+    assert prep_s < 30.0, f"10k-pulse host prep took {prep_s:.1f}s"
+
+
 def test_large_cpi_prep_vectorized():
     """Host-side CPI prep has no per-pulse Python loop: a 4096-pulse CPI
     preps in under ~seconds and traces correctly (VERDICT r1 item 8)."""

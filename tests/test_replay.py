@@ -135,6 +135,16 @@ class TestNorthStarF32:
         ph_ref = np.asarray(ref.agg.phase, np.float64)[got]
         ph = (np.asarray(plain.agg.phase, np.float64) + np.asarray(plain.agg.phase_lo, np.float64))[got]
         assert _phase_err(ph_ref, ph).max() > 1e-4
+        # POWER teeth as well: unrefined f32 per-ray and aggregated power
+        # must violate the 1e-6 relative bar (measured ~9e-6 here), so a
+        # regression that silently disables the replay's power path while
+        # keeping phase cannot hide behind a benign scene.
+        pw_ref = np.asarray(ref.power, np.float64)[got]
+        pw = np.asarray(plain.power, np.float64)[got]
+        assert np.abs(pw / pw_ref - 1.0).max() > 1e-6
+        ag_ref = np.asarray(ref.agg.power, np.float64)[got]
+        ag = np.asarray(plain.agg.power, np.float64)[got]
+        assert np.abs(ag / ag_ref - 1.0).max() > 1e-6
 
 
 class TestReplayInternals:
@@ -189,6 +199,32 @@ class TestReplayInternals:
         ph_c = np.asarray(capped.agg.phase, np.float64) + np.asarray(capped.agg.phase_lo, np.float64)
         got = np.asarray(full.received) >= 0
         np.testing.assert_allclose(ph_c[got], ph_f[got], rtol=0, atol=1e-7)
+
+    def test_replay_cap_overflow_warns(self):
+        """A cap smaller than the received-lane count must be surfaced
+        loudly (check_replay_overflow / run_cpi) — a silent precision
+        downgrade would break the 1e-6 contract unnoticed."""
+        import dataclasses
+
+        from rts_tpu.sim import check_replay_overflow
+
+        w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+        params = Parameters(num_rays=5, max_refl_depth=2)
+        base, batch, cfg, spec = prepare_cpi(
+            w, params, dtype=jnp.float32, refine=True, replay_cap=4
+        )
+        out = trace_cpi(base, batch, cfg, spec)
+        counts = np.asarray((np.asarray(out.received) >= 0).sum(axis=1))
+        assert counts.max() > 4, "scene too weak for the overflow test"
+        with pytest.warns(UserWarning, match="replay cap overflow"):
+            check_replay_overflow(out, cfg)
+        # a big-enough cap (or cap=0 = replay-all) must stay silent
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            check_replay_overflow(out, dataclasses.replace(cfg, replay_cap=0))
+            check_replay_overflow(out, dataclasses.replace(cfg, replay_cap=int(counts.max())))
 
     def test_sharded_refine_bit_identical(self):
         """Replay under shard_map: per-lane ds math is elementwise, so the
