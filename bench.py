@@ -98,6 +98,7 @@ def build(args):
         ray_tile=args.ray_tile,
         candidates=args.candidates,
         sub_tiles=args.sub_tiles,
+        mt_group=args.mt_group,
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -116,10 +117,10 @@ def main():
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
-    ap.add_argument("--cluster-size", type=int, default=512)
+    ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument(
-        "--candidates", type=int, default=32,
+        "--candidates", type=int, default=64,
         help="per-tile candidate-list width (two-phase traversal); 0 = hierarchical sweep",
     )
     ap.add_argument(
@@ -129,6 +130,10 @@ def main():
     ap.add_argument(
         "--sub-tiles", type=int, default=8,
         help="slab-gated ray sub-blocks per tile in the MT kernel",
+    )
+    ap.add_argument(
+        "--mt-group", type=int, default=4,
+        help="candidates per MT evaluation window in the kernel (1/2/4/8)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

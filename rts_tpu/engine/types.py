@@ -129,6 +129,11 @@ class TraceConfig:
     # builds near-to-far candidate clusters in vectorised XLA; the kernel
     # loops only over them).  0 = the original hierarchical sweep.
     candidates: int = 64
+    # Candidates per MT evaluation window in the kernel (1/2/4/8): G
+    # candidates' packed tiles are evaluated as ONE [rows, G*cs] block
+    # gated by the union of their phase-1 bits — amortises loop/branch/
+    # epilogue cost so finer clusters stay cheap (bit-identical).
+    mt_group: int = 2
     # Fan tile order: "raster" (reference launch order), "morton3"
     # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
     # direction-bearing axes iz/iy with the launch-range axis ix minor —

@@ -697,6 +697,7 @@ def trace_fan(
                 super_size=cfg.super_size,
                 sub_tiles=cfg.sub_tiles,
                 candidates=cfg.candidates,
+                mt_group=cfg.mt_group,
                 interpret=cfg.interpret,
             )
 

@@ -59,22 +59,26 @@ _P1_SUPER_K = 16
 
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
-# tiles than fit are chunked into independent pallas_calls.  Env override
-# for hardware experiments (bytes).
+# tiles than fit are chunked into independent pallas_calls.  512 KB keeps
+# a 63^3 fan (1466 tiles x 264 B at cand=32) in ONE pallas_call — r3
+# measured 2.06e6 vs 1.66e6 rays/s chunked, and the v5e scalar memory
+# takes it (the r2 64 KB budget was over-conservative).  Env override for
+# hardware experiments (bytes).
 import os as _os
 
-_SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 64 * 1024))
+_SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
 
 
-def _dma_depth(k_max: int) -> int:
+def _dma_depth(k_max: int, mt_group: int = 2) -> int:
     """Cluster-DMA pipeline depth: deep prefetch in candidate mode (hides
     the ~us per-copy latency), classic double-buffer for the sweep.
-    Always EVEN so the pair-MT path's (even slot, slot+1) windows are
-    contiguous and never wrap the circular scratch."""
+    Always a multiple of ``mt_group`` so a group's (aligned slot ..
+    slot+G-1) window is contiguous and never wraps the circular scratch."""
     if k_max <= 0:
         return 2
-    d = max(2, min(8, k_max))
-    return d + (d % 2)
+    g = max(1, mt_group)
+    d = max(2, min(8, k_max), g)
+    return -(-d // g) * g
 
 
 def _slab_overlap(o, d, tmin, best, mn, mx):
@@ -140,6 +144,7 @@ def _mt_kernel(
     super_size: int,  # groups per supergroup (3rd culling level)
     sub_tiles: int,
     k_max: int,  # candidate-list width; 0 = always use the hierarchical sweep
+    mt_group: int,  # candidates per MT evaluation window (1/2/4/8)
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -164,7 +169,7 @@ def _mt_kernel(
     counters[1] = jnp.int32(0)
 
     cs = cluster_size
-    nbuf = _dma_depth(k_max)
+    nbuf = _dma_depth(k_max, mt_group)
 
     def get_dma(c, slot):
         """Async copy of cluster ``c``'s packed tile into scratch ``slot``
@@ -376,33 +381,41 @@ def _mt_kernel(
                 def _():
                     get_dma(cand_ref[tile, nxt], slot).start()
 
+            g = mt_group
+
             def cand_step(s, c2):
-                # s < (n_cand+1)//2 implies i < n_cand.  nbuf is even and
-                # i is even, so slot is even and slot+1 never wraps — the
-                # pair occupies contiguous scratch columns.
-                i = 2 * s
+                # s < ceil(n_cand/g) implies i < n_cand.  nbuf is a
+                # multiple of g and i is a multiple of g, so the group's
+                # slots (slot .. slot+g-1) never wrap the circular
+                # scratch — one contiguous [16, g*cs] window.
+                i = g * s
                 slot = jax.lax.rem(i, jnp.int32(nbuf))
-                c_a = cand_ref[tile, i]
-                get_dma(c_a, slot).wait()
 
-                @pl.when(i + 1 < n_cand)
-                def _():
-                    c_b = cand_ref[tile, i + 1]
-                    get_dma(c_b, slot + 1).wait()
-                    process(
-                        [c_a, c_b], slot,
-                        bits_list=[bits_ref[tile, i], bits_ref[tile, i + 1]],
-                    )
-                    refill(i + 1, slot + 1)
+                @pl.when(i + (g - 1) < n_cand)
+                def _():  # full group: ONE g*cs-wide MT evaluation
+                    ids = [cand_ref[tile, i + q] for q in range(g)]
+                    for q in range(g):
+                        get_dma(ids[q], slot + q).wait()
+                    process(ids, slot, bits_list=[bits_ref[tile, i + q] for q in range(g)])
+                    for q in range(g):
+                        refill(i + q, slot + q)
 
-                @pl.when(i + 1 >= n_cand)
-                def _():
-                    process([c_a], slot, bits_list=[bits_ref[tile, i]])
+                if g > 1:
 
-                refill(i, slot)
+                    @pl.when(i + (g - 1) >= n_cand)
+                    def _():  # tail: the last 1..g-1 candidates, singly
+                        for q in range(g):
+
+                            @pl.when(i + q < n_cand)
+                            def _(q=q):
+                                c = cand_ref[tile, i + q]
+                                get_dma(c, slot + q).wait()
+                                process([c], slot + q, bits_list=[bits_ref[tile, i + q]])
+                                refill(i + q, slot + q)
+
                 return c2
 
-            jax.lax.fori_loop(0, (n_cand + 1) // 2, cand_step, jnp.int32(0))
+            jax.lax.fori_loop(0, (n_cand + g - 1) // g, cand_step, jnp.int32(0))
             return cr
 
         pending, cp_id, cnt = jax.lax.cond(
@@ -605,7 +618,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -622,6 +635,7 @@ def closest_hit_clustered(
     super_size: int = 8,
     sub_tiles: int = 4,
     candidates: int = 64,  # per-tile candidate-list width; 0 = sweep-only
+    mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8)
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
@@ -722,10 +736,12 @@ def closest_hit_clustered(
         bits = jnp.zeros((n_t, 1), jnp.int32)
         k_width = 1
     grid = (l_pad // rt,)
+    if mt_group not in (1, 2, 4, 8):
+        raise ValueError(f"mt_group must be 1/2/4/8, got {mt_group}")
     kernel = partial(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
-        k_max=candidates,
+        k_max=candidates, mt_group=mt_group,
     )
 
     n_tiles = l_pad // rt
@@ -781,9 +797,9 @@ def closest_hit_clustered(
             ],
             out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
             scratch_shapes=[
-                pltpu.VMEM((16, _dma_depth(candidates) * cluster_size), f32),
+                pltpu.VMEM((16, _dma_depth(candidates, mt_group) * cluster_size), f32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA((_dma_depth(candidates),)),
+                pltpu.SemaphoreType.DMA((_dma_depth(candidates, mt_group),)),
             ],
             interpret=interpret,
         )(o_c, d_c, tm_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))

@@ -25,17 +25,19 @@ from rts_tpu.sim.world import World
 
 # Named option bundles for ``prepare_cpi``.  "production" is the
 # measured-best TPU configuration from the bench ledger (docs/PERF.md):
-# clustered Pallas traversal, 512-triangle clusters, 512-ray tiles with
-# 8 bit-gated sub-blocks, 32-wide candidate lists, and the double-single
-# path replay ON so the f32 engine meets the reference's double-precision
-# 1e-6 power/phase contract (ray_tracer.h:13-28).
+# clustered Pallas traversal, 256-triangle clusters, 512-ray tiles with
+# 8 bit-gated sub-blocks, 64-wide candidate lists evaluated 4 clusters
+# per 1024-wide MT window (mt_group), and the double-single path replay
+# ON so the f32 engine meets the reference's double-precision 1e-6
+# power/phase contract (ray_tracer.h:13-28).
 PRESETS = {
     "production": dict(
         accel="cluster",
-        cluster_size=512,
+        cluster_size=256,
         ray_tile=512,
-        candidates=32,
+        candidates=64,
         sub_tiles=8,
+        mt_group=4,
         refine=True,
         replay_cap=1024,
     ),
@@ -53,6 +55,7 @@ _PREPARE_DEFAULTS = dict(
     ray_tile=256,
     candidates=64,
     sub_tiles=4,
+    mt_group=2,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -81,8 +84,9 @@ def prepare_cpi(
     measured-best TPU configuration and the recommended starting point.
     Recognised options and their bare defaults: ``strict_parity=False,
     tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
-    ray_tile=256, candidates=64, sub_tiles=4, fan_order="raster",
-    interpret=False, refine=False, replay_cap=0``.
+    ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
+    fan_order="raster", interpret=False, refine=False, replay_cap=0,
+    rx_geom_on_device=False``.
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
@@ -284,6 +288,7 @@ def prepare_cpi(
         ray_tile=ray_tile,
         candidates=candidates,
         sub_tiles=sub_tiles,
+        mt_group=opts["mt_group"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

@@ -213,7 +213,7 @@ def mk_tracefan(c):
 
 
 prev = None
-for k in range(0, 3):
+for k in range(1, cfg.max_refl_dev + 1):  # k=0 would make depth_total < 1
     c = dataclasses.replace(cfg, max_refl_dev=k)
     ms = timed(f"trace_fan {c.num_segments}seg", mk_tracefan(c), batch)
     if prev is not None:

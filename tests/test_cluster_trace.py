@@ -187,6 +187,17 @@ def test_candidate_modes_agree():
         f = np.asarray(outs[64].found)
         np.testing.assert_array_equal(np.asarray(outs[k].tri)[f], np.asarray(outs[64].tri)[f])
         np.testing.assert_array_equal(np.asarray(outs[k].t)[f], np.asarray(outs[64].t)[f])
+    # fine sub-block gating, including sub_tiles=32 whose top block rides
+    # the int32 SIGN bit (weights 1<<31; arithmetic-shift extraction)
+    for st in (16, 32):
+        out_st = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, sub_tiles=st, interpret=True,
+        )
+        f = np.asarray(outs[64].found)
+        np.testing.assert_array_equal(np.asarray(out_st.found), f, err_msg=f"st={st}")
+        np.testing.assert_array_equal(np.asarray(out_st.tri)[f], np.asarray(outs[64].tri)[f])
+        np.testing.assert_array_equal(np.asarray(out_st.t)[f], np.asarray(outs[64].t)[f])
 
 
 def test_tile_candidates_match_exact_union():
