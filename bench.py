@@ -110,9 +110,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=1000000, help="approx. triangle count")
     ap.add_argument("--rays", type=int, default=31, help="N of the N^3 launch fan (odd keeps the boresight ray)")
-    # Whole-CPI batching is the production shape; 32 pulses amortise the
-    # ~27 ms tunnel dispatch+readback floor to <1 ms/pulse (PERF.md).
-    ap.add_argument("--pulses", type=int, default=32)
+    # Whole-CPI batching is the production shape; 128 pulses amortise the
+    # ~27 ms tunnel dispatch+readback floor to ~0.2 ms/pulse (PERF.md).
+    ap.add_argument("--pulses", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
@@ -144,9 +144,10 @@ def main():
         help="double-single path replay ON (the production 1e-6 power/phase config)",
     )
     ap.add_argument(
-        "--replay-cap", type=int, default=1024,
+        "--replay-cap", type=int, default=256,
         help="compact received lanes and replay only this many (0 = all); "
-        "the bench scenes receive a few hundred lanes per pulse at most",
+        "the bench scenes receive ~31 lanes per pulse, and the overflow "
+        "guard (sim.check_replay_overflow) makes a tight cap safe",
     )
     ap.add_argument(
         "--cpi256",

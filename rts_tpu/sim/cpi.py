@@ -39,7 +39,10 @@ PRESETS = {
         sub_tiles=8,
         mt_group=4,
         refine=True,
-        replay_cap=1024,
+        # replay block size; received lanes beyond the cap keep f32 and
+        # check_replay_overflow warns LOUDLY — raise it (or 0 = all)
+        # for wide-beam close-range scenes
+        replay_cap=256,
     ),
     # exact-parity oracle configuration: dense f64 engine with the
     # reference's float32 narrowing points applied
