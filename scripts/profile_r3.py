@@ -28,8 +28,9 @@ sys.path.insert(0, "/root/repo")
 import bench as B
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--cluster-size", type=int, default=512)
-ap.add_argument("--candidates", type=int, default=32)
+ap.add_argument("--cluster-size", type=int, default=256)
+ap.add_argument("--candidates", type=int, default=64)
+ap.add_argument("--mt-group", type=int, default=4)
 ap.add_argument("--ray-tile", type=int, default=512)
 ap.add_argument("--sub-tiles", type=int, default=8)
 ap.add_argument("--pulses", type=int, default=8)
@@ -40,13 +41,13 @@ bargs = argparse.Namespace(
     tris=1000000, rays=args.rays, pulses=args.pulses, repeat=2, tri_chunk=2048,
     scene="terrain", accel="cluster", cluster_size=args.cluster_size,
     ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=args.sub_tiles,
-    fan_order="raster", refine=False, replay_cap=16384, tiny=False, cpi256=False,
-    stats=False,
+    mt_group=args.mt_group, fan_order="raster", refine=False, replay_cap=16384,
+    tiny=False, cpi256=False, stats=False,
 )
 base, batch, cfg, spec = B.build(bargs)[:4]
 P = args.pulses
 print(
-    f"# cs={args.cluster_size} cand={args.candidates} rt={args.ray_tile} st={args.sub_tiles} n={args.rays}",
+    f"# cs={args.cluster_size} cand={args.candidates} G={args.mt_group} rt={args.ray_tile} st={args.sub_tiles} n={args.rays}",
     file=sys.stderr,
 )
 
@@ -129,6 +130,7 @@ def mk_kernel(o, d, t):
                 cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
                 group_size=cfg.group_size, super_size=cfg.super_size,
                 sub_tiles=cfg.sub_tiles, candidates=cfg.candidates,
+                mt_group=cfg.mt_group,
             )
             return jnp.sum(h.t) + jnp.sum(h.tri)
 
@@ -157,7 +159,7 @@ def seg2_state():
         state.origin, live, state.tmin, sc0.tri_pack, sc0.aabb_mn, sc0.aabb_mx,
         batch.tx_origin[0], cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
         group_size=cfg.group_size, super_size=cfg.super_size,
-        sub_tiles=cfg.sub_tiles, candidates=cfg.candidates,
+        sub_tiles=cfg.sub_tiles, candidates=cfg.candidates, mt_group=cfg.mt_group,
     )
     hm = state.active & hit.found
     mm = state.active & ~hit.found
