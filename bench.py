@@ -99,6 +99,7 @@ def build(args):
         candidates=args.candidates,
         sub_tiles=args.sub_tiles,
         mt_group=args.mt_group,
+        mt_union=args.mt_union,
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -134,6 +135,10 @@ def main():
     ap.add_argument(
         "--mt-group", type=int, default=4,
         help="candidates per MT evaluation window in the kernel (1/2/4/8)",
+    )
+    ap.add_argument(
+        "--mt-union", action=argparse.BooleanOptionalAction, default=True,
+        help="one G*cs-wide union-gated MT per step (vs G-unrolled per-candidate windows)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -134,6 +134,10 @@ class TraceConfig:
     # gated by the union of their phase-1 bits — amortises loop/branch/
     # epilogue cost so finer clusters stay cheap (bit-identical).
     mt_group: int = 2
+    # True: one G*cs-wide union-gated MT evaluation per loop step; False:
+    # G-unrolled loop with per-candidate cs-wide windows and bits (no
+    # union waste, more branches) — measured slower, kept as an option.
+    mt_union: bool = True
     # Fan tile order: "raster" (reference launch order), "morton3"
     # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
     # direction-bearing axes iz/iy with the launch-range axis ix minor —

@@ -698,6 +698,7 @@ def trace_fan(
                 sub_tiles=cfg.sub_tiles,
                 candidates=cfg.candidates,
                 mt_group=cfg.mt_group,
+                mt_union=cfg.mt_union,
                 interpret=cfg.interpret,
             )
 

@@ -145,6 +145,10 @@ def _mt_kernel(
     sub_tiles: int,
     k_max: int,  # candidate-list width; 0 = always use the hierarchical sweep
     mt_group: int,  # candidates per MT evaluation window (1/2/4/8)
+    mt_union: bool,  # True: one G*cs-wide union-gated evaluation per step;
+    #                  False: G-unrolled loop, each candidate evaluated in
+    #                  its own cs-wide window with its own bits (no union
+    #                  waste, more branches/epilogues)
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -392,11 +396,17 @@ def _mt_kernel(
                 slot = jax.lax.rem(i, jnp.int32(nbuf))
 
                 @pl.when(i + (g - 1) < n_cand)
-                def _():  # full group: ONE g*cs-wide MT evaluation
+                def _():  # full group
                     ids = [cand_ref[tile, i + q] for q in range(g)]
                     for q in range(g):
                         get_dma(ids[q], slot + q).wait()
-                    process(ids, slot, bits_list=[bits_ref[tile, i + q] for q in range(g)])
+                    if mt_union:
+                        # ONE g*cs-wide union-gated MT evaluation
+                        process(ids, slot, bits_list=[bits_ref[tile, i + q] for q in range(g)])
+                    else:
+                        # g-unrolled: per-candidate windows/bits (no union waste)
+                        for q in range(g):
+                            process([ids[q]], slot + q, bits_list=[bits_ref[tile, i + q]])
                     for q in range(g):
                         refill(i + q, slot + q)
 
@@ -618,7 +628,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -636,6 +646,7 @@ def closest_hit_clustered(
     sub_tiles: int = 4,
     candidates: int = 64,  # per-tile candidate-list width; 0 = sweep-only
     mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8)
+    mt_union: bool = True,  # False: G-unrolled loop, per-candidate windows
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
@@ -741,7 +752,7 @@ def closest_hit_clustered(
     kernel = partial(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
-        k_max=candidates, mt_group=mt_group,
+        k_max=candidates, mt_group=mt_group, mt_union=mt_union,
     )
 
     n_tiles = l_pad // rt

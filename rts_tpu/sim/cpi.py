@@ -59,6 +59,7 @@ _PREPARE_DEFAULTS = dict(
     candidates=64,
     sub_tiles=4,
     mt_group=2,
+    mt_union=True,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -292,6 +293,7 @@ def prepare_cpi(
         candidates=candidates,
         sub_tiles=sub_tiles,
         mt_group=opts["mt_group"],
+        mt_union=opts["mt_union"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

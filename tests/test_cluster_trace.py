@@ -190,15 +190,15 @@ def test_candidate_modes_agree():
     # mt_group: G candidates per MT window must be BIT-identical to
     # sequential (union gate can only add evaluations; the near
     # candidate's columns come first, preserving the tie-break)
-    for g in (1, 4, 8):
+    for g, un in ((1, True), (4, True), (4, False), (8, False)):
         out_g = closest_hit_clustered(
             o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
-            candidates=64, mt_group=g, interpret=True,
+            candidates=64, mt_group=g, mt_union=un, interpret=True,
         )
         for f in ("found", "t", "tri", "beta", "gamma"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(out_g, f)), np.asarray(getattr(outs[64], f)),
-                err_msg=f"{f} mt_group={g}",
+                err_msg=f"{f} mt_group={g} union={un}",
             )
     # fine sub-block gating, including sub_tiles=32 whose top block rides
     # the int32 SIGN bit (weights 1<<31; arithmetic-shift extraction)
