@@ -44,7 +44,49 @@ def build(args):
     # Generous capture sphere + an odd N (boresight ray included) so the
     # bench exercises capture/aggregation with real received paths.
     w.add(Receiver(path=Path.fixed(0, 0, 0), sphere=(25.0, 1.2, 1.2)))
-    if args.scene == "terrain":
+    if args.scene == "dielectric":
+        # BASELINE config 3 shape: multistatic Tx + 2 Rx, dielectric
+        # target (reflect+refract, 3x lane slots, 6 wavefront segments)
+        # in front of a large terrain.  Forward Rx catches exiting
+        # refraction chains.
+        from rts_tpu.sim import RotationPath
+
+        n = max(2, round(math.sqrt(args.tris / 2)) + 1)
+        w.transmitters[0].path = Path.fixed(0.0, 0.0, 4000.0)
+        w.receivers[0].path = Path.fixed(0.0, 0.0, 4000.0)
+        el = -math.pi / 2
+        w.transmitters[0].rotation = RotationPath(elevation=el)
+        w.receivers[0].rotation = RotationPath(elevation=el)
+        # forward receiver under the slab looking up
+        w.add(
+            Receiver(
+                path=Path.fixed(0.0, 0.0, 100.0),
+                rotation=RotationPath(elevation=math.pi / 2),
+                sphere=(60.0, 1.4, 1.4),
+            )
+        )
+        w.add(
+            Target(
+                shape="terrain",
+                terrain=(n, 12000.0, 300.0, 3),
+                path=Path.fixed(0.0, 0.0, 0.0),
+                refl_coeff=0.9,
+            )
+        )
+        from rts_tpu.sim import AttitudePath
+
+        # dielectric plate between radar and terrain
+        w.add(
+            Target(
+                shape="rect",
+                rect=(2.0, 200.0, 200.0),
+                attitude=AttitudePath(pitch=math.pi / 2),
+                path=Path.fixed(0.0, 0.0, 1000.0),
+                refl_coeff=0.5,
+                refr_index=1.5,
+            )
+        )
+    elif args.scene == "terrain":
         # BASELINE config 4: large terrain viewed from altitude (steep
         # look angle so near-specular facets return toward the radar).
         n = max(2, round(math.sqrt(args.tris / 2)) + 1)
@@ -87,7 +129,10 @@ def build(args):
                 refl_coeff=0.9,
             )
         )
-    params = Parameters(num_rays=args.rays, max_refl_depth=2)
+    params = Parameters(
+        num_rays=args.rays, max_refl_depth=2,
+        max_refr_depth=2 if args.scene == "dielectric" else 0,
+    )
     base, batch, cfg, spec = prepare_cpi(
         w,
         params,
@@ -116,7 +161,7 @@ def main():
     ap.add_argument("--pulses", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
-    ap.add_argument("--scene", choices=("sphere", "terrain"), default="terrain")
+    ap.add_argument("--scene", choices=("sphere", "terrain", "dielectric"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--ray-tile", type=int, default=512)
