@@ -155,7 +155,9 @@ def build(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=1000000, help="approx. triangle count")
-    ap.add_argument("--rays", type=int, default=31, help="N of the N^3 launch fan (odd keeps the boresight ray)")
+    # 63^3 amortises per-pulse fixed costs best (PERF.md: 2.26e6 vs
+    # 2.13e6 at 31^3); odd N keeps the exact boresight ray.
+    ap.add_argument("--rays", type=int, default=63, help="N of the N^3 launch fan (odd keeps the boresight ray)")
     # Whole-CPI batching is the production shape; 128 pulses amortise the
     # ~27 ms tunnel dispatch+readback floor to ~0.2 ms/pulse (PERF.md).
     ap.add_argument("--pulses", type=int, default=128)
@@ -245,6 +247,9 @@ def main():
         # same scene (one jit call, warm compile, scalar-readback sync).
         args256 = argparse.Namespace(**vars(args))
         args256.pulses = 256
+        # the tracked cpi256 metric stays at the 31^3 fan for continuity
+        # with rounds 1-2 (the headline rays/s metric uses --rays)
+        args256.rays = 31
         b256, batch256, cfg256, spec256 = build(args256)[:4]
         out256 = trace_cpi(b256, batch256, cfg256, spec256)
         float(out256.power.sum())
