@@ -37,9 +37,12 @@ STATE = "/tmp/rts_contract_tpu.npz"
 TWO_PI = 6.283185307179586
 
 
-def make_scene(num_pulses: int):
+def make_scene(num_pulses: int, refr: bool = False):
     from rts_tpu import Parameters
-    from rts_tpu.sim import AttitudePath, Path, RadarSignal, Receiver, Target, Transmitter, World
+    from rts_tpu.sim import (
+        AttitudePath, Path, RadarSignal, Receiver, RotationPath, Target,
+        Transmitter, World,
+    )
 
     w = World()
     w.add(
@@ -55,10 +58,13 @@ def make_scene(num_pulses: int):
     w.add(Receiver(name="rx0", path=Path.fixed(0, 0, 0), sphere=(25.0, 1.2, 1.2)))
     # moving icosphere + rotating plate: time-varying geometry breaks the
     # t=0 symmetry that can leave f32 ray lengths accidentally near-exact
+    # refr variant: the ball moves OFF the boresight corridor so the
+    # central rays reach the dielectric plate (and rx1 behind it)
+    ball_y = 250.0 if refr else 0.0
     w.add(
         Target(
             name="ball",
-            path=Path.linear([(0.0, (900.0, 0.0, 0.0)), (1.0, (950.0, 4.0, 2.0))]),
+            path=Path.linear([(0.0, (900.0, ball_y, 0.0)), (1.0, (950.0, ball_y + 4.0, 2.0))]),
             shape="sphere",
             sphere_params=(4, 40.0),
             refl_coeff=0.9,
@@ -71,10 +77,24 @@ def make_scene(num_pulses: int):
             attitude=AttitudePath(yaw_rate=0.05),
             shape="rect",
             rect=(2.0, 120.0, 120.0),
-            refl_coeff=0.7,
+            refl_coeff=0.5 if refr else 0.7,
+            refr_index=1.5 if refr else 1.0,
         )
     )
-    params = Parameters(num_rays=9, max_refl_depth=2)
+    if refr:
+        # forward receiver behind the dielectric plate catches exiting
+        # refraction chains (trapped/exiting lane slots on hardware)
+        # directly behind the plate on the boresight line: the exact
+        # centre ray refracts straight through the slab into rx1
+        w.add(
+            Receiver(
+                name="rx1",
+                path=Path.fixed(2400, 0, 0),
+                rotation=RotationPath(azimuth=3.141592653589793),
+                sphere=(20.0, 1.5, 1.5),
+            )
+        )
+    params = Parameters(num_rays=9, max_refl_depth=2, max_refr_depth=2 if refr else 0)
     return w, params
 
 
@@ -89,7 +109,7 @@ def run_tpu(args):
     from rts_tpu.engine.cpi import trace_cpi
     from rts_tpu.sim import check_replay_overflow, prepare_cpi
 
-    w, params = make_scene(args.pulses)
+    w, params = make_scene(args.pulses, refr=args.refr)
     base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float32, preset="production")
     out = trace_cpi(base, batch, cfg, spec)
     counts = check_replay_overflow(out, cfg)
@@ -128,10 +148,15 @@ def run_ref(args):
     from rts_tpu.sim import prepare_cpi
 
     got_tpu = np.load(STATE, allow_pickle=False)
-    w, params = make_scene(args.pulses)
+    w, params = make_scene(args.pulses, refr=args.refr)
     base, batch, cfg, spec = prepare_cpi(w, params, dtype=jnp.float64)
     ref = trace_cpi(base, batch, cfg, spec)
 
+    if args.refr:
+        n3 = params.num_rays ** 3
+        nref = int((np.asarray(ref.received)[:, n3:] >= 0).sum())
+        assert nref > 0, "no refracted lanes received — dielectric variant vacuous"
+        print(f"# refracted-lane receptions: {nref}")
     rec_ref = np.asarray(ref.received)
     rec_tpu = got_tpu["received"]
     np.testing.assert_array_equal(rec_tpu, rec_ref, err_msg="received (discrete decisions)")
@@ -166,6 +191,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("tpu", "ref"), required=True)
     ap.add_argument("--pulses", type=int, default=4)
+    ap.add_argument("--refr", action="store_true", help="dielectric variant: refraction chains + forward Rx")
     args = ap.parse_args()
     (run_tpu if args.mode == "tpu" else run_ref)(args)
 

@@ -6,3 +6,7 @@ set -e
 cd "$(dirname "$0")/.."
 python scripts/verify_contract.py --mode tpu "$@"
 python scripts/verify_contract.py --mode ref "$@"
+# dielectric variant: refraction chains through an n=1.5 slab into a
+# forward receiver (asserts >=1 refracted-lane reception)
+python scripts/verify_contract.py --mode tpu --refr "$@"
+python scripts/verify_contract.py --mode ref --refr "$@"
