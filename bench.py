@@ -145,6 +145,7 @@ def build(args):
         sub_tiles=args.sub_tiles,
         mt_group=args.mt_group,
         mt_union=args.mt_union,
+        cand_order=args.cand_order,
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -186,6 +187,11 @@ def main():
     ap.add_argument(
         "--mt-union", action=argparse.BooleanOptionalAction, default=True,
         help="one G*cs-wide union-gated MT per step (vs G-unrolled per-candidate windows)",
+    )
+    ap.add_argument(
+        "--cand-order", choices=("near", "mask"), default="near",
+        help="candidate-list order: near-to-far, or grouped by sub-block bitmask "
+        "so G-window union gates stay tight (model: 0.81x MT pairs)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -129,7 +129,7 @@ class TraceConfig:
     # builds near-to-far candidate clusters in vectorised XLA; the kernel
     # loops only over them).  0 = the original hierarchical sweep.
     candidates: int = 64
-    # Candidates per MT evaluation window in the kernel (1/2/4/8): G
+    # Candidates per MT evaluation window in the kernel (1/2/4/8/16/32): G
     # candidates' packed tiles are evaluated as ONE [rows, G*cs] block
     # gated by the union of their phase-1 bits — amortises loop/branch/
     # epilogue cost so finer clusters stay cheap (bit-identical).
@@ -138,6 +138,10 @@ class TraceConfig:
     # G-unrolled loop with per-candidate cs-wide windows and bits (no
     # union waste, more branches) — measured slower, kept as an option.
     mt_union: bool = True
+    # Candidate-list order within a tile: "near" (near-to-far entry
+    # distance) or "mask" (grouped by sub-block overlap bitmask so
+    # G-window union gates stay tight; near-to-far within equal masks).
+    cand_order: str = "near"
     # Fan tile order: "raster" (reference launch order), "morton3"
     # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
     # direction-bearing axes iz/iy with the launch-range axis ix minor —

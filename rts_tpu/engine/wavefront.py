@@ -699,6 +699,7 @@ def trace_fan(
                 candidates=cfg.candidates,
                 mt_group=cfg.mt_group,
                 mt_union=cfg.mt_union,
+                cand_order=cfg.cand_order,
                 interpret=cfg.interpret,
             )
 

@@ -19,13 +19,15 @@ in-kernel scalar branching, not arithmetic, is what bounds a flat sweep):
   the in-kernel fallback sweep.
 
   PHASE 2 (this kernel, one grid step per ray tile): loop over ONLY the
-  tile's candidates (two per loop step, halving the scalar loop-control
-  overhead) with an 8-deep DMA prefetch pipeline (every candidate is a
-  real overlap, so fetches are unconditional and the ~us per-copy
-  latency is hidden).  The MT test runs per ray sub-block, each gated by
-  its phase-1 precomputed overlap bit (candidate mode — no in-kernel
-  slab or running-best prune on the MT; sweep mode keeps both), as
-  broadcast-sum K=3 contractions (VPU work — see engine/intersect.py).
+  tile's candidates, ``mt_group`` per loop step as one full-width
+  [rows, G*cs] union-gated MT window (lists are phase-1 padded to a
+  multiple of G, so there is no narrow tail path), with a deep DMA
+  prefetch pipeline (every candidate is a real overlap, so fetches are
+  unconditional and the ~us per-copy latency is hidden).  The MT test
+  runs per ray sub-block, each gated by the OR of the window's phase-1
+  overlap bits (candidate mode — no in-kernel slab or running-best
+  prune on the MT; sweep mode keeps both), as broadcast-sum K=3
+  contractions (VPU work — see engine/intersect.py).
   Flagged overflow tiles instead walk the full supergroup/group/cluster
   hierarchy (the pre-candidate design, kept as the always-correct path).
 
@@ -59,11 +61,13 @@ _P1_SUPER_K = 16
 
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
-# tiles than fit are chunked into independent pallas_calls.  512 KB keeps
-# a 63^3 fan (1466 tiles x 264 B at cand=32) in ONE pallas_call — r3
-# measured 2.06e6 vs 1.66e6 rays/s chunked, and the v5e scalar memory
-# takes it (the r2 64 KB budget was over-conservative).  Env override for
-# hardware experiments (bytes).
+# tiles than fit are chunked into independent pallas_calls (measured
+# 2.06e6 vs 1.66e6 rays/s chunked at a 63^3 fan — chunks re-pay pipeline
+# warm-up, so one call is strongly preferred).  The chip has 1 MB of
+# SMEM and rows are lane-padded to 512 B (_pack_smem_rows); 512 KB of
+# row-packed lists covers a 63^3 fan at cand=64 (~264 KB) or cand=128
+# (~508 KB) while leaving headroom for the visit orders and register
+# spills.  Env override for hardware experiments (bytes).
 import os as _os
 
 _SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
@@ -77,7 +81,9 @@ def _dma_depth(k_max: int, mt_group: int = 2) -> int:
     if k_max <= 0:
         return 2
     g = max(1, mt_group)
-    d = max(2, min(8, k_max), g)
+    # at least TWO G-windows of scratch, else the next window's copies
+    # can only start after the current one processes (no overlap at g=8)
+    d = max(2, min(8, k_max), 2 * g if g > 1 else g)
     return -(-d // g) * g
 
 
@@ -119,15 +125,22 @@ def _mt_kernel(
     gmx_ref,  # [G, 3] VMEM
     smn_ref,  # [S, 3] VMEM super²-cluster bounds (groups of groups)
     smx_ref,  # [S, 3] VMEM
-    sorder_ref,  # [S, 1] SMEM int32 — supergroup visit order (near-to-far)
-    gorder_ref,  # [G, 1] SMEM int32 — group visit order, near-to-far WITHIN
-    #              each supergroup (slot sg*super_size + j holds the j-th
-    #              nearest group of supergroup sg)
-    cand_ref,  # [tiles, K] SMEM int32 — per-tile candidate clusters, near-to-far
-    meta_ref,  # [tiles, 2] SMEM int32 — per-tile (candidate count, overflow flag)
-    bits_ref,  # [tiles, K] SMEM int32 — per-candidate sub-block overlap bitmask
-    #            (full arrays: Mosaic only blocks SMEM on (8,128) multiples,
-    #             so tiles index by program_id like sorder/gorder)
+    sorder_ref,  # SMEM int32, ROW-PACKED [ceil(S/128), 128] — supergroup
+    #              visit order (near-to-far); entry i at [i//128, i%128]
+    gorder_ref,  # SMEM int32, row-packed like sorder — group visit order,
+    #              near-to-far WITHIN each supergroup (slot sg*super_size+j
+    #              holds the j-th nearest group of supergroup sg)
+    cand_ref,  # SMEM int32 [ceil(tiles/tpr), tpr*K] — per-tile candidate
+    #            clusters, near-to-far; tile t's slot i lives at
+    #            [t//tpr, (t%tpr)*K + i] with tpr = max(1, 128//K).
+    #            SMEM rows are lane-padded to 128 int32 (512 B) no matter
+    #            the declared width, so narrow per-tile rows would waste
+    #            ~4x the 1 MB SMEM (the unpacked layout measured 998 KB
+    #            at a 63^3 fan — one row of padding from the capacity).
+    meta_ref,  # SMEM int32 [ceil(tiles/64), 128] — per-tile (candidate
+    #            count, overflow flag) at [t//64, (t%64)*2 + 0/1]
+    bits_ref,  # SMEM int32, packed like cand_ref — per-candidate
+    #            sub-block overlap bitmask
     pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
     t_out,  # [RT, 1] VMEM
     i_out,  # [RT, 1] VMEM int32
@@ -144,7 +157,7 @@ def _mt_kernel(
     super_size: int,  # groups per supergroup (3rd culling level)
     sub_tiles: int,
     k_max: int,  # candidate-list width; 0 = always use the hierarchical sweep
-    mt_group: int,  # candidates per MT evaluation window (1/2/4/8)
+    mt_group: int,  # candidates per MT evaluation window (1/2/4/8/16/32)
     mt_union: bool,  # True: one G*cs-wide union-gated evaluation per step;
     #                  False: G-unrolled loop, each candidate evaluated in
     #                  its own cs-wide window with its own bits (no union
@@ -321,7 +334,7 @@ def _mt_kernel(
     # visited in the caller-provided near-to-far order so the running-best
     # prune (tn <= best) rejects far geometry without DMA.
     def group_body(gi, carry):
-        g = gorder_ref[gi, 0]
+        g = gorder_ref[gi // 128, gi % 128]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, gmn_ref[g, :], gmx_ref[g, :])
 
@@ -332,7 +345,7 @@ def _mt_kernel(
         return jax.lax.cond(jnp.any(overlap), visit, lambda cr: cr, carry)
 
     def super_body(si, carry):
-        sg = sorder_ref[si, 0]
+        sg = sorder_ref[si // 128, si % 128]
         best = t_out[:, 0]
         overlap = _slab_overlap(o, d, tmin, best, smn_ref[sg, :], smx_ref[sg, :])
         if super_size == 1:
@@ -362,28 +375,39 @@ def _mt_kernel(
         # per candidate when compute per cluster is only ~1-3 us); each
         # sub-block's MT is gated by its phase-1 overlap bit (no in-kernel
         # slab test or running-best prune — the bit is one scalar test).
-        # Two candidates are processed per fori step to halve the scalar
-        # loop-control overhead (~2 us/candidate was sequencing + DMA wait
-        # + epilogue, vs ~1 us of MT flops).  Overflowed tiles (more
+        # ``mt_group`` candidates are processed per fori step as one
+        # full-width window to amortise the scalar loop control, branch
+        # and epilogue over G*cs columns.  Overflowed tiles (more
         # overlaps than the list holds) take the full hierarchical sweep.
         tile = pl.program_id(0)
+        # row-packed SMEM accessors (see the ref comments above)
+        tpr = max(1, 128 // k_max)
+        lrow, lbase = tile // tpr, (tile % tpr) * k_max
+        cand_at = lambda i: cand_ref[lrow, lbase + i]
+        bits_at = lambda i: bits_ref[lrow, lbase + i]
 
         def cand_path(cr):
-            n_cand = meta_ref[tile, 0]
+            n_cand = meta_ref[tile // 64, (tile % 64) * 2]
             counters[0] = counters[0] + n_cand
             counters[1] = counters[1] + n_cand
+            # Windows are full-width, so every slot up to the PADDED
+            # count is waited on — padding slots (bits=0 repeats of the
+            # last valid candidate) must get real DMAs or their waits
+            # deadlock the chip.
+            g_ = mt_group
+            n_pad = ((n_cand + (g_ - 1)) // g_) * g_
             for b in range(nbuf):
 
-                @pl.when(b < n_cand)
+                @pl.when(b < n_pad)
                 def _(b=b):
-                    get_dma(cand_ref[tile, b], b).start()
+                    get_dma(cand_at(b), b).start()
 
             def refill(i, slot):
                 nxt = i + jnp.int32(nbuf)
 
-                @pl.when(nxt < n_cand)
+                @pl.when(nxt < n_pad)
                 def _():
-                    get_dma(cand_ref[tile, nxt], slot).start()
+                    get_dma(cand_at(nxt), slot).start()
 
             g = mt_group
 
@@ -392,44 +416,37 @@ def _mt_kernel(
                 # multiple of g and i is a multiple of g, so the group's
                 # slots (slot .. slot+g-1) never wrap the circular
                 # scratch — one contiguous [16, g*cs] window.
+                #
+                # Every window is FULL: phase 1 pads each list to a
+                # multiple of g by repeating the last valid candidate
+                # with bits=0 (see _tile_candidates), so padding columns
+                # are duplicates of an already-processed candidate —
+                # union-gated identically (bits=0 adds nothing to the
+                # union; a duplicate's RMW is idempotent and the one-hot
+                # argmin keeps the first/nearer column).  No tail path:
+                # at g=16 a typical 63³ tile (~10 candidates) is ONE
+                # window instead of 10 single cs-wide evaluations.
                 i = g * s
                 slot = jax.lax.rem(i, jnp.int32(nbuf))
-
-                @pl.when(i + (g - 1) < n_cand)
-                def _():  # full group
-                    ids = [cand_ref[tile, i + q] for q in range(g)]
+                ids = [cand_at(i + q) for q in range(g)]
+                for q in range(g):
+                    get_dma(ids[q], slot + q).wait()
+                if mt_union:
+                    # ONE g*cs-wide union-gated MT evaluation
+                    process(ids, slot, bits_list=[bits_at(i + q) for q in range(g)])
+                else:
+                    # g-unrolled: per-candidate windows/bits (no union waste)
                     for q in range(g):
-                        get_dma(ids[q], slot + q).wait()
-                    if mt_union:
-                        # ONE g*cs-wide union-gated MT evaluation
-                        process(ids, slot, bits_list=[bits_ref[tile, i + q] for q in range(g)])
-                    else:
-                        # g-unrolled: per-candidate windows/bits (no union waste)
-                        for q in range(g):
-                            process([ids[q]], slot + q, bits_list=[bits_ref[tile, i + q]])
-                    for q in range(g):
-                        refill(i + q, slot + q)
-
-                if g > 1:
-
-                    @pl.when(i + (g - 1) >= n_cand)
-                    def _():  # tail: the last 1..g-1 candidates, singly
-                        for q in range(g):
-
-                            @pl.when(i + q < n_cand)
-                            def _(q=q):
-                                c = cand_ref[tile, i + q]
-                                get_dma(c, slot + q).wait()
-                                process([c], slot + q, bits_list=[bits_ref[tile, i + q]])
-                                refill(i + q, slot + q)
-
+                        process([ids[q]], slot + q, bits_list=[bits_at(i + q)])
+                for q in range(g):
+                    refill(i + q, slot + q)
                 return c2
 
             jax.lax.fori_loop(0, (n_cand + g - 1) // g, cand_step, jnp.int32(0))
             return cr
 
         pending, cp_id, cnt = jax.lax.cond(
-            meta_ref[tile, 1] != 0,
+            meta_ref[tile // 64, (tile % 64) * 2 + 1] != 0,
             lambda cr: jax.lax.fori_loop(0, n_super, super_body, cr),
             cand_path,
             init,
@@ -453,7 +470,8 @@ def _mt_kernel(
     )
 
 
-def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max):
+def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max,
+                     cand_order="near"):
     """Phase 1: per-ray-tile candidate cluster lists (vectorised XLA).
 
     EXACT per-ray slab tests — the same predicate the kernel applies
@@ -608,7 +626,59 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     meta = jnp.stack(
         [jnp.minimum(count, k_eff), over.astype(jnp.int32)], axis=1
     )
+    if cand_order == "mask":
+        # Regroup candidates so window-mates share sub-block masks: the
+        # kernel's G-window union gate then rarely exceeds each member's
+        # own mask, cutting union-gating waste (offline model
+        # scripts/model_reorder.py: 0.81x MT pairs primary / 0.92x bounce
+        # at cs=256 G=4).  MEASURED NEGATIVE on hardware (2.22e6 vs
+        # 2.26e6 at 63³; docs/PERF.md round-3 negatives) — kept as an
+        # option, default "near".  Sort key = (bitmask value,
+        # near-to-far rank); invalid slots keep sorting last so the
+        # kernel's first-count-slots contract holds.  Candidate order has
+        # no in-kernel role in candidate mode beyond tie-breaking rays
+        # whose two best triangles have exactly equal f32 t.
+        if sub_tiles > 16:
+            raise ValueError("cand_order='mask' supports sub_tiles <= 16")
+        pos = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+        in_count = pos < meta[:, 0:1]
+        key = jnp.where(in_count, (bits << 12) | pos, jnp.int32(2**30) + pos)
+        perm = jnp.argsort(key, axis=1)
+        order = jnp.take_along_axis(order, perm, axis=1)
+        bits = jnp.take_along_axis(bits, perm, axis=1)
+    elif cand_order != "near":
+        raise ValueError(f"cand_order must be 'near' or 'mask', got {cand_order!r}")
+    # Pad slots >= count with the LAST VALID candidate id and bits=0, so
+    # the kernel can process every G-window as a full [rows, G*cs]
+    # evaluation with no tail path: padding columns are duplicates of an
+    # already-evaluated candidate (idempotent RMW, first-column-wins
+    # argmin keeps the real slot) and bits=0 adds nothing to the union
+    # gate.  count==0 tiles pad with cluster 0 (their loop never runs,
+    # but chunk boundaries must still see in-range DMA bases).
+    pos = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    count_col = meta[:, 0:1]
+    last = jnp.maximum(jnp.minimum(pos, count_col - 1), 0)
+    order = jnp.where(
+        count_col > 0, jnp.take_along_axis(order, last, axis=1), 0
+    )
+    bits = jnp.where(pos < count_col, bits, 0)
     return order, meta, bits
+
+
+def _pack_smem_rows(a):
+    """Row-pack a per-tile int32 SMEM array [n, w] -> [ceil(n/tpr), tpr*w]
+    with tpr = max(1, 128 // w): SMEM rows are lane-padded to 128 int32
+    (512 B) regardless of declared width, so narrow per-tile rows waste
+    ~4x the chip's 1 MB SMEM (measured: the unpacked production 63^3
+    layout used 998 KB; cs=128 configs went over).  Entry (t, i) lives at
+    [t // tpr, (t % tpr) * w + i]."""
+    n, w = a.shape
+    tpr = max(1, 128 // w)
+    rows = -(-n // tpr)
+    pad = rows * tpr - n
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, w), a.dtype)])
+    return a.reshape(rows, tpr * w)
 
 
 def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
@@ -628,7 +698,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "cand_order", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -645,8 +715,9 @@ def closest_hit_clustered(
     super_size: int = 8,
     sub_tiles: int = 4,
     candidates: int = 64,  # per-tile candidate-list width; 0 = sweep-only
-    mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8)
+    mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8/16/32)
     mt_union: bool = True,  # False: G-unrolled loop, per-candidate windows
+    cand_order: str = "near",  # "mask": group window-mates by sub-block bitmask
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
@@ -736,7 +807,8 @@ def closest_hit_clustered(
     f32 = jnp.float32
     if candidates > 0:
         cand, meta, bits = _tile_candidates(
-            origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates
+            origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
+            cand_order,
         )
         k_width = candidates
     else:
@@ -747,8 +819,18 @@ def closest_hit_clustered(
         bits = jnp.zeros((n_t, 1), jnp.int32)
         k_width = 1
     grid = (l_pad // rt,)
-    if mt_group not in (1, 2, 4, 8):
-        raise ValueError(f"mt_group must be 1/2/4/8, got {mt_group}")
+    if mt_group not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(f"mt_group must be 1/2/4/8/16/32, got {mt_group}")
+    if candidates > 0:
+        # windows are always full-width (phase-1 pads each list to a
+        # multiple of g with bits=0 repeats), so the list width must
+        # hold whole windows; narrow lists clamp the window instead
+        mt_group = min(mt_group, candidates)
+        if candidates % mt_group:
+            raise ValueError(
+                f"candidates ({candidates}) must be a multiple of mt_group "
+                f"({mt_group})"
+            )
     kernel = partial(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
@@ -772,12 +854,15 @@ def closest_hit_clustered(
         g_mx.astype(f32),
         s_mn.astype(f32),
         s_mx.astype(f32),
-        s_order,
-        g_order,
+        _pack_smem_rows(s_order),
+        _pack_smem_rows(g_order),
     )
 
     def run(o_c, d_c, tm_c, cand_c, meta_c, bits_c):
         tiles_c = o_c.shape[0] // rt
+        cand_c = _pack_smem_rows(cand_c)
+        meta_c = _pack_smem_rows(meta_c)
+        bits_c = _pack_smem_rows(bits_c)
         out_shape = [
             jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
             jax.ShapeDtypeStruct((o_c.shape[0], 1), jnp.int32),
@@ -815,10 +900,14 @@ def closest_hit_clustered(
             interpret=interpret,
         )(o_c, d_c, tm_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
 
-    # The full-array candidate/meta/bits lists live in SMEM; chunk the
-    # grid so very large fans (hundreds of tiles) never exceed the
+    # The row-packed candidate/meta/bits lists live in SMEM; chunk the
+    # grid so very large fans (thousands of tiles) never exceed the
     # scalar-memory budget — each chunk is an independent pallas_call.
-    max_tiles = max(1, _SMEM_LIST_BUDGET // ((2 * k_width + 2) * 4))
+    # Packed footprint: cand+bits pay 512 B per tpr tiles each, meta
+    # 512 B per 64 tiles (SMEM rows are 128 int32 whatever the width).
+    tpr_c = max(1, 128 // k_width)
+    per_tile_bytes = 1024 // tpr_c + 8
+    max_tiles = max(1, _SMEM_LIST_BUDGET // per_tile_bytes)
     if n_tiles > max_tiles:
         parts = []
         for s0 in range(0, n_tiles, max_tiles):

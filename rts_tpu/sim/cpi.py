@@ -60,6 +60,7 @@ _PREPARE_DEFAULTS = dict(
     sub_tiles=4,
     mt_group=2,
     mt_union=True,
+    cand_order="near",
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -294,6 +295,7 @@ def prepare_cpi(
         sub_tiles=sub_tiles,
         mt_group=opts["mt_group"],
         mt_union=opts["mt_union"],
+        cand_order=opts["cand_order"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

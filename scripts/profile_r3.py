@@ -41,7 +41,8 @@ bargs = argparse.Namespace(
     tris=1000000, rays=args.rays, pulses=args.pulses, repeat=2, tri_chunk=2048,
     scene="terrain", accel="cluster", cluster_size=args.cluster_size,
     ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=args.sub_tiles,
-    mt_group=args.mt_group, fan_order="raster", refine=False, replay_cap=16384,
+    mt_group=args.mt_group, mt_union=True, cand_order="near",
+    fan_order="raster", refine=False, replay_cap=16384,
     tiny=False, cpi256=False, stats=False,
 )
 base, batch, cfg, spec = B.build(bargs)[:4]

@@ -190,7 +190,7 @@ def test_candidate_modes_agree():
     # mt_group: G candidates per MT window must be BIT-identical to
     # sequential (union gate can only add evaluations; the near
     # candidate's columns come first, preserving the tie-break)
-    for g, un in ((1, True), (4, True), (4, False), (8, False)):
+    for g, un in ((1, True), (4, True), (4, False), (8, False), (16, True), (32, True)):
         out_g = closest_hit_clustered(
             o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
             candidates=64, mt_group=g, mt_union=un, interpret=True,
@@ -199,6 +199,19 @@ def test_candidate_modes_agree():
             np.testing.assert_array_equal(
                 np.asarray(getattr(out_g, f)), np.asarray(getattr(outs[64], f)),
                 err_msg=f"{f} mt_group={g} union={un}",
+            )
+    # mask-grouped candidate order: permuting the candidate list must not
+    # change any hit (tie-breaks aside, absent in this random scene) —
+    # asserted bit-exact here to catch plumbing bugs
+    for g in (2, 4):
+        out_m = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, mt_group=g, cand_order="mask", interpret=True,
+        )
+        for f in ("found", "t", "tri", "beta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_m, f)), np.asarray(getattr(outs[64], f)),
+                err_msg=f"{f} cand_order=mask mt_group={g}",
             )
     # fine sub-block gating, including sub_tiles=32 whose top block rides
     # the int32 SIGN bit (weights 1<<31; arithmetic-shift extraction)
@@ -261,6 +274,21 @@ def test_tile_candidates_match_exact_union():
     # sentinels never appear among candidates
     for t in range(l // rt):
         assert not set(cand[t, : meta[t, 0]]) & {c - 1, c - 2}
+
+    # mask order: a per-tile permutation — same valid set in the first
+    # count slots, same (cluster -> bits) association, masks grouped
+    cand_m, meta_m, bits_m = (
+        np.asarray(a)
+        for a in _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c, cand_order="mask")
+    )
+    np.testing.assert_array_equal(meta_m, meta)
+    for t in range(l // rt):
+        n = meta[t, 0]
+        assert set(cand_m[t, :n].tolist()) == set(cand[t, :n].tolist())
+        want = dict(zip(cand[t, :n].tolist(), bits[t, :n].tolist()))
+        got = dict(zip(cand_m[t, :n].tolist(), bits_m[t, :n].tolist()))
+        assert got == want
+        assert (np.diff(bits_m[t, :n]) >= 0).all()  # grouped by mask value
 
 
 @pytest.mark.parametrize("seed", [3, 17, 42])
