@@ -146,6 +146,8 @@ def build(args):
         mt_group=args.mt_group,
         mt_union=args.mt_union,
         cand_order=args.cand_order,
+        p1_fanout=getattr(args, "p1_fanout", None),
+        p1_super_k=getattr(args, "p1_super_k", None),
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -192,6 +194,15 @@ def main():
         "--cand-order", choices=("near", "mask"), default="near",
         help="candidate-list order: near-to-far, or grouped by sub-block bitmask "
         "so G-window union gates stay tight (model: 0.81x MT pairs)",
+    )
+    ap.add_argument(
+        "--p1-fanout", type=int, default=None,
+        help="phase-1 clusters per supergroup box (default: module constant 16)",
+    )
+    ap.add_argument(
+        "--p1-super-k", type=int, default=None,
+        help="phase-1 admitted supergroups per tile; level-2 width = K*fanout "
+        "slots (default 16; bench terrain admits ~6.2, max 11)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -142,6 +142,12 @@ class TraceConfig:
     # distance) or "mask" (grouped by sub-block overlap bitmask so
     # G-window union gates stay tight; near-to-far within equal masks).
     cand_order: str = "near"
+    # Phase-1 hierarchy knobs (None = ops/cluster_trace module defaults):
+    # clusters per level-1 supergroup box, and max admitted supergroups
+    # per tile (level-2 width = p1_super_k * p1_fanout box slots; tiles
+    # admitting more overflow to the kernel's full hierarchical sweep).
+    p1_fanout: int | None = None
+    p1_super_k: int | None = None
     # Fan tile order: "raster" (reference launch order), "morton3"
     # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
     # direction-bearing axes iz/iy with the launch-range axis ix minor —

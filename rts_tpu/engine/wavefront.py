@@ -700,6 +700,8 @@ def trace_fan(
                 mt_group=cfg.mt_group,
                 mt_union=cfg.mt_union,
                 cand_order=cfg.cand_order,
+                p1_fanout=cfg.p1_fanout,
+                p1_super_k=cfg.p1_super_k,
                 interpret=cfg.interpret,
             )
 

@@ -55,7 +55,11 @@ _BIG = 3.0e38  # plain float: jnp scalars would become captured kernel consts
 # _P1_FANOUT consecutive clusters); level 2 expands at most _P1_SUPER_K
 # overlapping supergroups per tile to exact per-cluster tests.  Keeps
 # phase 1 O(rays x C/fanout + tiles x rays x K*fanout) instead of
-# O(rays x C) — flat at any cluster_size.
+# O(rays x C) — flat at any cluster_size.  Defaults; overridable per
+# call (TraceConfig.p1_fanout / p1_super_k): the bench terrain admits
+# only ~6.2 supergroups per tile (max 11), so smaller K cuts level-2
+# filler slots — tiles whose admission exceeds K overflow to the
+# kernel's full hierarchical sweep, keeping correctness unconditional.
 _P1_FANOUT = 16
 _P1_SUPER_K = 16
 
@@ -471,7 +475,7 @@ def _mt_kernel(
 
 
 def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max,
-                     cand_order="near"):
+                     cand_order="near", p1_fanout=None, p1_super_k=None):
     """Phase 1: per-ray-tile candidate cluster lists (vectorised XLA).
 
     EXACT per-ray slab tests — the same predicate the kernel applies
@@ -562,7 +566,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
 
     # --- level 1: exact per-ray tests against SUPERGROUP boxes (runs of
     # ``_P1_FANOUT`` consecutive clusters) — [l, S] with S = C/fanout
-    fanout = _P1_FANOUT
+    fanout = p1_fanout or _P1_FANOUT
     s = -(-c // fanout)
     c_pad1 = s * fanout
     if c_pad1 > c:
@@ -580,7 +584,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
 
     ov_s, _ = batch_slab(s_mn, s_mx)  # [l, S]
     ov_s_t = jnp.any(ov_s.reshape(tiles, ray_tile, s), axis=1)  # [tiles, S]
-    ks = min(_P1_SUPER_K, s)
+    ks = min(p1_super_k or _P1_SUPER_K, s)
     s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
     # nearest-first isn't needed at this level — order by index is fine;
     # pick the Ks overlapping supergroups (overlap sorts before not)
@@ -594,15 +598,18 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     cmn = mnp[members]  # [tiles, ks*fanout, 3] (tiny gather)
     cmx = mxp[members]
     ov_c, tnear_c = batch_slab(cmn, cmx)  # [tiles, rt, ks*fanout]
-    ov_ct = jnp.any(ov_c, axis=1)  # [tiles, ks*fanout] (slots are distinct
-    # clusters: top_k indices are unique positions, padding slots are
-    # sentinel boxes that never overlap)
-    tnear_t = jnp.min(tnear_c, axis=1)
-
-    # per-sub-block overlap bitmask per member slot
+    # ONE reduction pass over the big [tiles, rt, kf] slab output, per
+    # ray SUB-BLOCK (any + min over rs); the tile-level any/min and the
+    # bitmask all derive from the tiny [tiles, st, kf] partials — vs
+    # three independent rt-length reductions over the full intermediate
     rs = ray_tile // sub_tiles
     kf = ks * fanout
     ov_sb = jnp.any(ov_c.reshape(tiles, sub_tiles, rs, kf), axis=2)  # [tiles, st, kf]
+    tnear_sb = jnp.min(tnear_c.reshape(tiles, sub_tiles, rs, kf), axis=2)
+    ov_ct = jnp.any(ov_sb, axis=1)  # [tiles, ks*fanout] (slots are distinct
+    # clusters: top_k indices are unique positions, padding slots are
+    # sentinel boxes that never overlap)
+    tnear_t = jnp.min(tnear_sb, axis=1)
     weights = (1 << jnp.arange(sub_tiles, dtype=jnp.int32))[None, :, None]
     bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=1)  # [tiles, kf]
 
@@ -698,7 +705,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "cand_order", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "cand_order", "p1_fanout", "p1_super_k", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -718,6 +725,8 @@ def closest_hit_clustered(
     mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8/16/32)
     mt_union: bool = True,  # False: G-unrolled loop, per-candidate windows
     cand_order: str = "near",  # "mask": group window-mates by sub-block bitmask
+    p1_fanout: int | None = None,  # phase-1 clusters per supergroup (default _P1_FANOUT)
+    p1_super_k: int | None = None,  # phase-1 admitted supergroups per tile (default _P1_SUPER_K)
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
@@ -808,7 +817,7 @@ def closest_hit_clustered(
     if candidates > 0:
         cand, meta, bits = _tile_candidates(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
-            cand_order,
+            cand_order, p1_fanout, p1_super_k,
         )
         k_width = candidates
     else:

@@ -61,6 +61,8 @@ _PREPARE_DEFAULTS = dict(
     mt_group=2,
     mt_union=True,
     cand_order="near",
+    p1_fanout=None,
+    p1_super_k=None,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -296,6 +298,8 @@ def prepare_cpi(
         mt_group=opts["mt_group"],
         mt_union=opts["mt_union"],
         cand_order=opts["cand_order"],
+        p1_fanout=opts["p1_fanout"],
+        p1_super_k=opts["p1_super_k"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

@@ -1,0 +1,234 @@
+"""Phase-1 internal decomposition on the TPU: where do the ~8 ms/pulse
+of `_tile_candidates` go at the 63^3 production fan?
+
+Stages are cumulative re-implementations of the function's internals
+(level-1 slab -> +reduce/top_k -> +level-2 slab -> +bits/top_k/gather =
+full), each timed under a lax.map over P pulses with the standard
+i*1e-12 tmin perturbation that defeats hoisting (profile_r3.py).  The
+last stage is asserted identical to the real `_tile_candidates` so the
+copies cannot drift silently.
+
+Run alone (the axon tunnel serialises TPU processes).
+"""
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import bench as B
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--cluster-size", type=int, default=256)
+ap.add_argument("--candidates", type=int, default=64)
+ap.add_argument("--ray-tile", type=int, default=512)
+ap.add_argument("--sub-tiles", type=int, default=8)
+ap.add_argument("--pulses", type=int, default=8)
+ap.add_argument("--rays", type=int, default=63)
+args = ap.parse_args()
+
+bargs = argparse.Namespace(
+    tris=1000000, rays=args.rays, pulses=args.pulses, repeat=2, tri_chunk=2048,
+    scene="terrain", accel="cluster", cluster_size=args.cluster_size,
+    ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=args.sub_tiles,
+    mt_group=4, mt_union=True, cand_order="near",
+    fan_order="raster", refine=False, replay_cap=16384,
+    tiny=False, cpi256=False, stats=False,
+)
+base, batch, cfg, spec = B.build(bargs)[:4]
+P = args.pulses
+
+from rts_tpu.engine.animate import animate_packed
+from rts_tpu.engine.fan import generate_fan
+from rts_tpu.ops import cluster_trace as CT
+
+sc0 = animate_packed(base, batch.rot[0], batch.pos[0], batch.vel[0], cfg.cluster_size)
+fan0 = generate_fan(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec.kwargs()["tx_span"])
+l = fan0.shape[0]
+l_pad = -(-l // cfg.ray_tile) * cfg.ray_tile
+
+
+def padded(a, fill=0.0):
+    pad = l_pad - a.shape[0]
+    return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+
+o_in = padded(jnp.broadcast_to(batch.tx_origin[0], fan0.shape))
+d_in = padded(fan0)
+tm_in = padded(jnp.full((l,), 0.005, jnp.float32))
+mn_in, mx_in = sc0.aabb_mn, sc0.aabb_mx
+rt, st, k_max = cfg.ray_tile, cfg.sub_tiles, cfg.candidates
+print(f"# cs={args.cluster_size} cand={k_max} rt={rt} st={st} n={args.rays} "
+      f"C={mn_in.shape[0]} P={P}", file=sys.stderr)
+
+_BIG = CT._BIG
+_FANOUT = CT._P1_FANOUT
+_SUPER_K = CT._P1_SUPER_K
+
+
+def stages(origin, direction, tmin, mn, mx, *, upto):
+    """Cumulative phase-1 stages; `upto` picks how far to run.
+
+    1 l1slab: [l, S] supergroup slab tests
+    2 l1: + per-tile any-reduce + top_k(Ks)
+    3 l2slab: + member gather + per-tile [rt, Ks*fanout] slab tests
+    4 l2red: + overlap/tnear tile reductions + count
+    5 full: + bits + top_k(k) + take_along_axis + padding  (== real fn)
+    """
+    l = origin.shape[0]
+    c = mn.shape[0]
+    f32 = jnp.float32
+    o = origin.astype(f32)
+    d = direction.astype(f32)
+    alive = jnp.sum(d * d, axis=-1) > 0.0
+    big = jnp.float32(_BIG)
+    mnf, mxf = mn.astype(f32), mx.astype(f32)
+    tiles = l // rt
+    safe_d = jnp.where(d == 0.0, 1.0, d)
+    inv = 1.0 / safe_d
+    tmin_f = tmin.astype(f32)
+
+    def batch_slab(bmn, bmx):
+        if bmn.ndim == 2:
+            o_, d_, inv_, al_, tm_ = o, d, inv, alive, tmin_f
+            expand = lambda a, ax: a[:, None]
+            bsel = lambda a, ax: a[None, :, ax]
+        else:
+            o_ = o.reshape(tiles, rt, 3)
+            d_ = d.reshape(tiles, rt, 3)
+            inv_ = inv.reshape(tiles, rt, 3)
+            al_ = alive.reshape(tiles, rt)
+            tm_ = tmin_f.reshape(tiles, rt)
+            expand = lambda a, ax: a[..., None]
+            bsel = lambda a, ax: a[:, None, :, ax]
+        shape = al_.shape + (bmn.shape[-2],)
+        tn = jnp.full(shape, -big, f32)
+        tf = jnp.full(shape, big, f32)
+        for ax in range(3):
+            oa = expand(o_[..., ax], ax)
+            ia = expand(inv_[..., ax], ax)
+            t1 = (bsel(bmn, ax) - oa) * ia
+            t2 = (bsel(bmx, ax) - oa) * ia
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            inside = (oa >= bsel(bmn, ax)) & (oa <= bsel(bmx, ax))
+            dz = expand(d_[..., ax], ax) == 0.0
+            lo = jnp.where(dz, jnp.where(inside, -big, big), lo)
+            hi = jnp.where(dz, jnp.where(inside, big, -big), hi)
+            tn = jnp.maximum(tn, lo)
+            tf = jnp.minimum(tf, hi)
+        box_ok = jnp.all(jnp.isfinite(bmn) & jnp.isfinite(bmx) & (bmn <= bmx), axis=-1)
+        ok = box_ok[None, :] if bmn.ndim == 2 else box_ok[:, None, :]
+        ov = (tf >= tn) & (tf >= expand(tm_, 0)) & expand(al_, 0) & ok
+        return ov, jnp.where(ov, jnp.maximum(tn, 0.0), jnp.float32(jnp.inf))
+
+    fanout = _FANOUT
+    s = -(-c // fanout)
+    c_pad1 = s * fanout
+    if c_pad1 > c:
+        inf = jnp.float32(jnp.inf)
+        mnp = jnp.concatenate([mnf, jnp.full((c_pad1 - c, 3), inf)], axis=0)
+        mxp = jnp.concatenate([mxf, jnp.full((c_pad1 - c, 3), inf)], axis=0)
+    else:
+        mnp, mxp = mnf, mxf
+    fin = jnp.isfinite(mnp[:, 0:1]) & jnp.isfinite(mxp[:, 0:1])
+    s_mn = jnp.where(fin, mnp, big).reshape(s, fanout, 3).min(axis=1)
+    s_mx = jnp.where(fin, mxp, -big).reshape(s, fanout, 3).max(axis=1)
+    s_bad = s_mn[:, 0] > s_mx[:, 0]
+    s_mn = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mn)
+    s_mx = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mx)
+
+    ov_s, _ = batch_slab(s_mn, s_mx)
+    if upto == 1:
+        return (jnp.sum(ov_s),)
+    ov_s_t = jnp.any(ov_s.reshape(tiles, rt, s), axis=1)
+    ks = min(_SUPER_K, s)
+    s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
+    _, s_order = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (s - jnp.arange(s)), ks)
+    s_over = s_count > ks
+    if upto == 2:
+        return (jnp.sum(s_order), jnp.sum(s_over))
+    members = (s_order[..., None] * fanout + jnp.arange(fanout)).reshape(tiles, ks * fanout)
+    members = jnp.minimum(members, c_pad1 - 1)
+    cmn = mnp[members]
+    cmx = mxp[members]
+    ov_c, tnear_c = batch_slab(cmn, cmx)
+    if upto == 3:
+        return (jnp.sum(ov_c), jnp.sum(jnp.where(jnp.isfinite(tnear_c), tnear_c, 0.0)))
+    rs = rt // st
+    kf = ks * fanout
+    ov_sb = jnp.any(ov_c.reshape(tiles, st, rs, kf), axis=2)
+    tnear_sb = jnp.min(tnear_c.reshape(tiles, st, rs, kf), axis=2)
+    ov_ct = jnp.any(ov_sb, axis=1)
+    tnear_t = jnp.min(tnear_sb, axis=1)
+    count = jnp.sum(ov_ct, axis=1).astype(jnp.int32)
+    if upto == 4:
+        return (jnp.sum(ov_ct), jnp.sum(jnp.where(jnp.isfinite(tnear_t), tnear_t, 0.0)), jnp.sum(count))
+    weights = (1 << jnp.arange(st, dtype=jnp.int32))[None, :, None]
+    bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=1)
+    k_eff = min(k_max, kf)
+    tkey = jnp.where(ov_ct, tnear_t, jnp.float32(jnp.inf))
+    _, sel = jax.lax.top_k(-tkey, k_eff)
+    order = jnp.take_along_axis(members, sel, axis=1).astype(jnp.int32)
+    bits = jnp.take_along_axis(bits_all, sel, axis=1).astype(jnp.int32)
+    if k_eff < k_max:
+        order = jnp.pad(order, ((0, 0), (0, k_max - k_eff)))
+        bits = jnp.pad(bits, ((0, 0), (0, k_max - k_eff)))
+    else:
+        order = order[:, :k_max]
+        bits = bits[:, :k_max]
+    over = s_over | (count > k_eff)
+    meta = jnp.stack([jnp.minimum(count, k_eff), over.astype(jnp.int32)], axis=1)
+    pos = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    count_col = meta[:, 0:1]
+    last = jnp.maximum(jnp.minimum(pos, count_col - 1), 0)
+    order = jnp.where(count_col > 0, jnp.take_along_axis(order, last, axis=1), 0)
+    bits = jnp.where(pos < count_col, bits, 0)
+    return order, meta, bits
+
+
+# drift guard: stage-5 copy must equal the real function (CPU-fast check
+# is fine on TPU too; one call)
+ref = CT._tile_candidates(o_in, d_in, tm_in, mn_in, mx_in, rt, st, k_max)
+got = stages(o_in, d_in, tm_in, mn_in, mx_in, upto=5)
+for a, b, nm in zip(got, ref, ("cand", "meta", "bits")):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)
+print("# drift guard ok: stage-5 == _tile_candidates", file=sys.stderr)
+
+
+def timed(name, fn, n=3):
+    out = fn()
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best * 1000:.1f} ms total, {best / P * 1000:.3f} ms/pulse")
+    return best / P
+
+
+prev = 0.0
+for upto, name in ((1, "l1 slab [l,S]"), (2, "+ l1 reduce/top_k"),
+                   (3, "+ l2 slab [t,rt,kf]"), (4, "+ l2 reductions"),
+                   (5, "full (bits+top_k+gather)")):
+    def mk(upto=upto):
+        @jax.jit
+        def f():
+            def g(i):
+                out = stages(o_in, d_in, tm_in + i * 1e-12, mn_in, mx_in, upto=upto)
+                return sum(jnp.sum(x.astype(jnp.float32)) for x in out)
+            return jax.lax.map(g, jnp.arange(P, dtype=jnp.float32))
+        return f
+    ms = timed(f"p1 upto {upto}: {name}", mk())
+    print(f"#   marginal: {(ms - prev) * 1000:.3f} ms/pulse")
+    prev = ms
+print("P1PROF DONE")

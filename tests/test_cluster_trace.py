@@ -213,6 +213,20 @@ def test_candidate_modes_agree():
                 np.asarray(getattr(out_m, f)), np.asarray(getattr(outs[64], f)),
                 err_msg=f"{f} cand_order=mask mt_group={g}",
             )
+    # phase-1 hierarchy knobs: small supergroups / tight admission caps
+    # must not change any hit — tiles admitting more supergroups than
+    # p1_super_k overflow to the full hierarchical sweep (p1_super_k=1
+    # forces that fallback for most tiles)
+    for fanout, superk in ((4, None), (None, 1), (2, 4)):
+        out_p = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, p1_fanout=fanout, p1_super_k=superk, interpret=True,
+        )
+        for f in ("found", "t", "tri", "beta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_p, f)), np.asarray(getattr(outs[64], f)),
+                err_msg=f"{f} p1_fanout={fanout} p1_super_k={superk}",
+            )
     # fine sub-block gating, including sub_tiles=32 whose top block rides
     # the int32 SIGN bit (weights 1<<31; arithmetic-shift extraction)
     for st in (16, 32):
