@@ -168,7 +168,7 @@ def main():
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain", "dielectric"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
-    ap.add_argument("--cluster-size", type=int, default=256)
+    ap.add_argument("--cluster-size", type=int, default=128)
     ap.add_argument("--ray-tile", type=int, default=512)
     ap.add_argument(
         "--candidates", type=int, default=64,
@@ -183,8 +183,8 @@ def main():
         help="slab-gated ray sub-blocks per tile in the MT kernel",
     )
     ap.add_argument(
-        "--mt-group", type=int, default=4,
-        help="candidates per MT evaluation window in the kernel (1/2/4/8)",
+        "--mt-group", type=int, default=8,
+        help="candidates per MT evaluation window in the kernel (1/2/4/8/16/32)",
     )
     ap.add_argument(
         "--mt-union", action=argparse.BooleanOptionalAction, default=True,

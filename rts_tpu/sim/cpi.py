@@ -25,19 +25,19 @@ from rts_tpu.sim.world import World
 
 # Named option bundles for ``prepare_cpi``.  "production" is the
 # measured-best TPU configuration from the bench ledger (docs/PERF.md):
-# clustered Pallas traversal, 256-triangle clusters, 512-ray tiles with
-# 8 bit-gated sub-blocks, 64-wide candidate lists evaluated 4 clusters
+# clustered Pallas traversal, 128-triangle clusters, 512-ray tiles with
+# 8 bit-gated sub-blocks, 64-wide candidate lists evaluated 8 clusters
 # per 1024-wide MT window (mt_group), and the double-single path replay
 # ON so the f32 engine meets the reference's double-precision 1e-6
 # power/phase contract (ray_tracer.h:13-28).
 PRESETS = {
     "production": dict(
         accel="cluster",
-        cluster_size=256,
+        cluster_size=128,
         ray_tile=512,
         candidates=64,
         sub_tiles=8,
-        mt_group=4,
+        mt_group=8,
         refine=True,
         # replay block size; received lanes beyond the cap keep f32 and
         # check_replay_overflow warns LOUDLY — raise it (or 0 = all)
