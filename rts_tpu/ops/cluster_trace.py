@@ -63,6 +63,16 @@ _BIG = 3.0e38  # plain float: jnp scalars would become captured kernel consts
 _P1_FANOUT = 16
 _P1_SUPER_K = 16
 
+# Level 0 kicks in when the supergroup count S reaches _P1_L0_MIN_S
+# (the dense [rays, S] level-1 pass dominated phase 1 at S=489 —
+# profile_phase1.py): runs of _P1_FANOUT0 supergroups are tested dense
+# ([rays, S/f0]), then only admitted runs' members per tile.  K0 caps
+# admitted runs per tile (overflow -> kernel sweep fallback; the bench
+# terrain admits ~2-4 level-0 boxes per tile).
+_P1_FANOUT0 = 8
+_P1_SUPER_K0 = 12
+_P1_L0_MIN_S = 192
+
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
 # tiles than fit are chunked into independent pallas_calls (measured
@@ -582,14 +592,63 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     s_mn = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mn)
     s_mx = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mx)
 
-    ov_s, _ = batch_slab(s_mn, s_mx)  # [l, S]
-    ov_s_t = jnp.any(ov_s.reshape(tiles, ray_tile, s), axis=1)  # [tiles, S]
     ks = min(p1_super_k or _P1_SUPER_K, s)
-    s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
-    # nearest-first isn't needed at this level — order by index is fine;
-    # pick the Ks overlapping supergroups (overlap sorts before not)
-    _, s_order = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (s - jnp.arange(s)), ks)
-    s_over = s_count > ks  # [tiles]
+    if s >= _P1_L0_MIN_S:
+        # --- level 0 (big scenes): the dense [l, S] supergroup pass was
+        # 5.0 of 7.9 ms/segment at a 63^3 fan with S=489 (profile_phase1,
+        # docs/PERF.md) — test rays against runs of _P1_FANOUT0
+        # supergroups first ([l, S/f0]), then per tile only the member
+        # supergroups of its admitted level-0 boxes ([tiles, rt,
+        # K0*f0]).  Containment (ray overlaps supergroup => overlaps its
+        # level-0 box) keeps the final lists identical to the dense
+        # build; tiles admitting more level-0 boxes than _P1_SUPER_K0
+        # overflow to the kernel's full hierarchical sweep.
+        f0 = _P1_FANOUT0
+        s0 = -(-s // f0)
+        s_pad0 = s0 * f0
+        if s_pad0 > s:
+            inf = jnp.float32(jnp.inf)
+            smnp = jnp.concatenate([s_mn, jnp.full((s_pad0 - s, 3), inf)])
+            smxp = jnp.concatenate([s_mx, jnp.full((s_pad0 - s, 3), inf)])
+        else:
+            smnp, smxp = s_mn, s_mx
+        fin0 = jnp.isfinite(smnp[:, 0:1])  # sentinel supergroup boxes
+        z_mn = jnp.where(fin0, smnp, big).reshape(s0, f0, 3).min(axis=1)
+        z_mx = jnp.where(fin0, smxp, -big).reshape(s0, f0, 3).max(axis=1)
+        z_bad = z_mn[:, 0] > z_mx[:, 0]
+        z_mn = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mn)
+        z_mx = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mx)
+        ov_z, _ = batch_slab(z_mn, z_mx)  # [l, S0]
+        ov_z_t = jnp.any(ov_z.reshape(tiles, ray_tile, s0), axis=1)
+        k0 = min(_P1_SUPER_K0, s0)
+        z_count = jnp.sum(ov_z_t, axis=1).astype(jnp.int32)
+        _, z_order = jax.lax.top_k(
+            ov_z_t.astype(jnp.int32) * (s0 - jnp.arange(s0)), k0
+        )
+        l0_over = z_count > k0  # [tiles]
+        # expand admitted level-0 boxes to their member supergroups and
+        # re-test per tile (slots are distinct supergroups: top_k
+        # positions are unique; s_pad0 tail slots are sentinel boxes)
+        sg_slots = (z_order[..., None] * f0 + jnp.arange(f0)).reshape(tiles, k0 * f0)
+        sg_slots = jnp.minimum(sg_slots, s_pad0 - 1)
+        ov_s1, _ = batch_slab(smnp[sg_slots], smxp[sg_slots])  # [tiles, rt, k0*f0]
+        ov_s_t = jnp.any(ov_s1, axis=1)  # [tiles, k0*f0]
+        nsl = k0 * f0
+        s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
+        _, sel1 = jax.lax.top_k(
+            ov_s_t.astype(jnp.int32) * (nsl - jnp.arange(nsl)), min(ks, nsl)
+        )
+        s_order = jnp.take_along_axis(sg_slots, sel1, axis=1)  # abs ids
+        ks = min(ks, nsl)
+        s_over = l0_over | (s_count > ks)
+    else:
+        ov_s, _ = batch_slab(s_mn, s_mx)  # [l, S]
+        ov_s_t = jnp.any(ov_s.reshape(tiles, ray_tile, s), axis=1)  # [tiles, S]
+        s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
+        # nearest-first isn't needed at this level — order by index is
+        # fine; pick the Ks overlapping supergroups (overlap sorts first)
+        _, s_order = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (s - jnp.arange(s)), ks)
+        s_over = s_count > ks  # [tiles]
 
     # --- level 2: expand candidate supergroups to their member clusters
     # and run the exact per-ray test per tile against only those

@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo")
 import bench as B
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--cluster-size", type=int, default=256)
+ap.add_argument("--cluster-size", type=int, default=128)
 ap.add_argument("--candidates", type=int, default=64)
 ap.add_argument("--ray-tile", type=int, default=512)
 ap.add_argument("--sub-tiles", type=int, default=8)
@@ -71,15 +71,20 @@ print(f"# cs={args.cluster_size} cand={k_max} rt={rt} st={st} n={args.rays} "
 _BIG = CT._BIG
 _FANOUT = CT._P1_FANOUT
 _SUPER_K = CT._P1_SUPER_K
+_FANOUT0 = CT._P1_FANOUT0
+_SUPER_K0 = CT._P1_SUPER_K0
+_L0_MIN_S = CT._P1_L0_MIN_S
 
 
 def stages(origin, direction, tmin, mn, mx, *, upto):
     """Cumulative phase-1 stages; `upto` picks how far to run.
 
-    1 l1slab: [l, S] supergroup slab tests
-    2 l1: + per-tile any-reduce + top_k(Ks)
+    0 l0slab: [l, S0] level-0 box tests (only when S >= _P1_L0_MIN_S)
+    1 l1slab: + level-1 supergroup slab tests (dense [l, S] small-S, or
+      per-tile [tiles, rt, K0*f0] member re-test behind level 0)
+    2 l1: + per-tile reduce + top_k(Ks)
     3 l2slab: + member gather + per-tile [rt, Ks*fanout] slab tests
-    4 l2red: + overlap/tnear tile reductions + count
+    4 l2red: + overlap/tnear sub-block reductions + count
     5 full: + bits + top_k(k) + take_along_axis + padding  (== real fn)
     """
     l = origin.shape[0]
@@ -145,14 +150,51 @@ def stages(origin, direction, tmin, mn, mx, *, upto):
     s_mn = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mn)
     s_mx = jnp.where(s_bad[:, None], jnp.float32(jnp.inf), s_mx)
 
-    ov_s, _ = batch_slab(s_mn, s_mx)
-    if upto == 1:
-        return (jnp.sum(ov_s),)
-    ov_s_t = jnp.any(ov_s.reshape(tiles, rt, s), axis=1)
     ks = min(_SUPER_K, s)
-    s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
-    _, s_order = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (s - jnp.arange(s)), ks)
-    s_over = s_count > ks
+    if s >= _L0_MIN_S:
+        f0 = _FANOUT0
+        s0 = -(-s // f0)
+        s_pad0 = s0 * f0
+        if s_pad0 > s:
+            inf = jnp.float32(jnp.inf)
+            smnp = jnp.concatenate([s_mn, jnp.full((s_pad0 - s, 3), inf)])
+            smxp = jnp.concatenate([s_mx, jnp.full((s_pad0 - s, 3), inf)])
+        else:
+            smnp, smxp = s_mn, s_mx
+        fin0 = jnp.isfinite(smnp[:, 0:1])
+        z_mn = jnp.where(fin0, smnp, big).reshape(s0, f0, 3).min(axis=1)
+        z_mx = jnp.where(fin0, smxp, -big).reshape(s0, f0, 3).max(axis=1)
+        z_bad = z_mn[:, 0] > z_mx[:, 0]
+        z_mn = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mn)
+        z_mx = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mx)
+        ov_z, _ = batch_slab(z_mn, z_mx)
+        if upto == 0:
+            return (jnp.sum(ov_z),)
+        ov_z_t = jnp.any(ov_z.reshape(tiles, rt, s0), axis=1)
+        k0 = min(_SUPER_K0, s0)
+        z_count = jnp.sum(ov_z_t, axis=1).astype(jnp.int32)
+        _, z_order = jax.lax.top_k(ov_z_t.astype(jnp.int32) * (s0 - jnp.arange(s0)), k0)
+        l0_over = z_count > k0
+        sg_slots = (z_order[..., None] * f0 + jnp.arange(f0)).reshape(tiles, k0 * f0)
+        sg_slots = jnp.minimum(sg_slots, s_pad0 - 1)
+        ov_s1, _ = batch_slab(smnp[sg_slots], smxp[sg_slots])
+        if upto == 1:
+            return (jnp.sum(ov_s1),)
+        ov_s_t = jnp.any(ov_s1, axis=1)
+        nsl = k0 * f0
+        s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
+        _, sel1 = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (nsl - jnp.arange(nsl)), min(ks, nsl))
+        s_order = jnp.take_along_axis(sg_slots, sel1, axis=1)
+        ks = min(ks, nsl)
+        s_over = l0_over | (s_count > ks)
+    else:
+        ov_s, _ = batch_slab(s_mn, s_mx)
+        if upto <= 1:
+            return (jnp.sum(ov_s),)
+        ov_s_t = jnp.any(ov_s.reshape(tiles, rt, s), axis=1)
+        s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
+        _, s_order = jax.lax.top_k(ov_s_t.astype(jnp.int32) * (s - jnp.arange(s)), ks)
+        s_over = s_count > ks
     if upto == 2:
         return (jnp.sum(s_order), jnp.sum(s_over))
     members = (s_order[..., None] * fanout + jnp.arange(fanout)).reshape(tiles, ks * fanout)
@@ -217,7 +259,7 @@ def timed(name, fn, n=3):
 
 
 prev = 0.0
-for upto, name in ((1, "l1 slab [l,S]"), (2, "+ l1 reduce/top_k"),
+for upto, name in ((0, "l0 slab [l,S0]"), (1, "+ l1 slab"), (2, "+ l1 reduce/top_k"),
                    (3, "+ l2 slab [t,rt,kf]"), (4, "+ l2 reductions"),
                    (5, "full (bits+top_k+gather)")):
     def mk(upto=upto):

@@ -22,9 +22,9 @@ sys.path.insert(0, "/root/repo")
 import bench as B
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--cluster-size", type=int, default=256)
+ap.add_argument("--cluster-size", type=int, default=128)
 ap.add_argument("--candidates", type=int, default=64)
-ap.add_argument("--mt-group", type=int, default=4)
+ap.add_argument("--mt-group", type=int, default=8)
 ap.add_argument("--ray-tile", type=int, default=512)
 ap.add_argument("--sub-tiles", type=int, default=8)
 ap.add_argument("--pulses", type=int, default=8)

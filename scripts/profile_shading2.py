@@ -1,0 +1,173 @@
+"""Decompose the ~6.5 ms/pulse/segment of wavefront shading (seg1,
+63^3): gathers vs normal interpolation vs scatter/record vs state merge.
+
+Each stage is an isolated jit over the SAME fixed post-kernel inputs
+(hit result captured once, outside the timed region), so stage times
+are directly comparable; the `full` stage is the real _process_miss +
+_process_hit body.
+
+Run alone (the axon tunnel serialises TPU processes).
+"""
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import bench as B
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--cluster-size", type=int, default=128)
+ap.add_argument("--candidates", type=int, default=64)
+ap.add_argument("--mt-group", type=int, default=8)
+ap.add_argument("--ray-tile", type=int, default=512)
+ap.add_argument("--sub-tiles", type=int, default=8)
+ap.add_argument("--pulses", type=int, default=8)
+ap.add_argument("--rays", type=int, default=63)
+args = ap.parse_args()
+
+bargs = argparse.Namespace(
+    tris=1000000, rays=args.rays, pulses=args.pulses, repeat=2, tri_chunk=2048,
+    scene="terrain", accel="cluster", cluster_size=args.cluster_size,
+    ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=args.sub_tiles,
+    mt_group=args.mt_group, mt_union=True, cand_order="near",
+    fan_order="raster", refine=False, replay_cap=16384,
+    tiny=False, cpi256=False, stats=False,
+)
+base, batch, cfg, spec = B.build(bargs)[:4]
+P = args.pulses
+print(f"# cs={args.cluster_size} cand={args.candidates} G={args.mt_group} n={args.rays}",
+      file=sys.stderr)
+
+from rts_tpu.engine.animate import animate_packed
+from rts_tpu.engine.fan import generate_fan
+from rts_tpu.engine.wavefront import (
+    TraceBuffers, _init_state, _process_hit, _process_miss, _scatter_col,
+)
+from rts_tpu.core.vec import dot3, normalize3
+from rts_tpu.ops import closest_hit_clustered
+
+sc0 = animate_packed(base, batch.rot[0], batch.pos[0], batch.vel[0], cfg.cluster_size)
+fan0 = generate_fan(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec.kwargs()["tx_span"])
+l = fan0.shape[0]
+rxg0 = jax.tree.map(lambda x: x[0], batch.rx_geom)
+
+state0 = _init_state(cfg, batch.tx_origin[0], fan0, jnp.float32)
+hit0 = closest_hit_clustered(
+    state0.origin, state0.direction, state0.tmin, sc0.tri_pack, sc0.aabb_mn,
+    sc0.aabb_mx, batch.tx_origin[0], cluster_size=cfg.cluster_size,
+    ray_tile=cfg.ray_tile, group_size=cfg.group_size, super_size=cfg.super_size,
+    sub_tiles=cfg.sub_tiles, candidates=cfg.candidates, mt_group=cfg.mt_group,
+)
+hit0 = jax.tree.map(jax.block_until_ready, hit0)
+print(f"# seg1 hits: {int(hit0.found.sum())} of {l}", file=sys.stderr)
+
+
+def timed(name, fn, n=3):
+    out = fn()
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best * 1000:.1f} ms total, {best / P * 1000:.2f} ms/pulse")
+    return best / P
+
+
+def mk_bufs():
+    return TraceBuffers(
+        path=jnp.full((cfg.ray_total, cfg.depth_total), -1, jnp.int32),
+        rcs=jnp.full((cfg.ray_total, cfg.depth_total, 2), -1000000.0, jnp.float32),
+    )
+
+
+def ptb(i):
+    return state0._replace(tmin=state0.tmin + i * 1e-12)
+
+
+@jax.jit
+def s_gathers():
+    def f(i):
+        s = ptb(i)
+        tri = jnp.clip(hit0.tri, 0, sc0.tri_target.shape[0] - 1) + jnp.int32(0 * i)
+        targ = sc0.tri_target[tri]
+        cn = sc0.base_corner_normals[tri]
+        return jnp.sum(targ) + jnp.sum(cn) + jnp.sum(s.tmin)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
+def s_normals():
+    def f(i):
+        s = ptb(i)
+        tri = jnp.clip(hit0.tri, 0, sc0.tri_target.shape[0] - 1) + jnp.int32(0 * i)
+        targ = jnp.clip(sc0.tri_target[tri], 0, sc0.target_refl.shape[0] - 1)
+        cn = sc0.base_corner_normals[tri]
+        nrm_b = (cn[:, 1] * hit0.beta[:, None] + cn[:, 2] * hit0.gamma[:, None]
+                 + cn[:, 0] * (1.0 - hit0.beta - hit0.gamma)[:, None])
+        oh = (targ[:, None] == jnp.arange(sc0.target_refl.shape[0], dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        r9 = jnp.matmul(oh, sc0.rot.reshape(-1, 9), precision=jax.lax.Precision.HIGHEST)
+        nrm = jnp.stack([
+            r9[:, 0] * nrm_b[:, 0] + r9[:, 1] * nrm_b[:, 1] + r9[:, 2] * nrm_b[:, 2],
+            r9[:, 3] * nrm_b[:, 0] + r9[:, 4] * nrm_b[:, 1] + r9[:, 5] * nrm_b[:, 2],
+            r9[:, 6] * nrm_b[:, 0] + r9[:, 7] * nrm_b[:, 1] + r9[:, 8] * nrm_b[:, 2],
+        ], axis=-1)
+        nrm = normalize3(nrm)
+        return jnp.sum(nrm) + jnp.sum(s.tmin)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
+def s_records():
+    def f(i):
+        s = ptb(i)
+        tri = jnp.clip(hit0.tri, 0, sc0.tri_target.shape[0] - 1) + jnp.int32(0 * i)
+        targ = jnp.clip(sc0.tri_target[tri], 0, sc0.target_refl.shape[0] - 1)
+        bufs = mk_bufs()
+        gate = s.active & hit0.found
+        col = s.refl_depth + s.refr_depth
+        path = bufs.path.at[:l].set(_scatter_col(bufs.path[:l], col, targ, gate))
+        rcs_val = jnp.stack([hit0.beta, hit0.gamma], axis=-1)
+        rcs = bufs.rcs.at[:l].set(_scatter_col(bufs.rcs[:l], col, rcs_val, gate))
+        tri_seq = _scatter_col(s.tri_seq, col, tri, gate)
+        return jnp.sum(path) + jnp.sum(rcs) + jnp.sum(tri_seq)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
+def s_miss():
+    def f(i):
+        s = ptb(i)
+        mm = s.active & ~hit0.found
+        s2 = _process_miss(s, mm, rxg0, batch.tx_origin[0], cfg)
+        return jnp.sum(s2.power) + jnp.sum(s2.received)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
+def s_full():
+    def f(i):
+        s = ptb(i)
+        hm = s.active & hit0.found
+        mm = s.active & ~hit0.found
+        s2 = _process_miss(s, mm, rxg0, batch.tx_origin[0], cfg)
+        s3, b3 = _process_hit(s2, mk_bufs(), hit0, hm, sc0, batch.tx_origin[0], cfg, l)
+        return jnp.sum(s3.power) + jnp.sum(s3.origin) + jnp.sum(b3.rcs)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+timed("gathers (targ + corner normals)", s_gathers)
+timed("normals (gathers + interp + rot + norm)", s_normals)
+timed("records (path/rcs/tri_seq scatter_col)", s_records)
+timed("miss only", s_miss)
+timed("full hit+miss shading", s_full)
+print("SHADPROF2 DONE")

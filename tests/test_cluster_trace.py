@@ -305,6 +305,44 @@ def test_tile_candidates_match_exact_union():
         assert (np.diff(bits_m[t, :n]) >= 0).all()  # grouped by mask value
 
 
+def test_p1_level0_identical(monkeypatch):
+    """The level-0 culling pass (big scenes, S >= _P1_L0_MIN_S) must
+    produce candidate lists IDENTICAL to the dense 2-level build —
+    containment guarantees it; the top_k index-ordering keeps even the
+    tie-break slot order stable.  Forced on via the threshold."""
+    from rts_tpu.ops import cluster_trace as CT
+
+    rng = np.random.default_rng(11)
+    c = 96
+    lo = rng.uniform(-300, 300, (c, 3)).astype(np.float32)
+    hi = lo + rng.uniform(1, 100, (c, 3)).astype(np.float32)
+    mn, mx = jnp.asarray(lo), jnp.asarray(hi)
+    rt, st = 64, 4
+    l = 256
+    o = rng.uniform(-350, 350, (l, 3)).astype(np.float32)
+    d = rng.normal(size=(l, 3)).astype(np.float32)
+    d[-8:] = 0.0  # dead lanes
+    tmin = jnp.asarray(np.full(l, 0.005, np.float32))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    # fanout=2 -> S=48 supergroups; dense path (threshold above S)
+    dense = [np.asarray(a) for a in CT._tile_candidates(
+        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    # force level 0 on (f0=8 -> S0=6, K0 covers all: no overflow)
+    monkeypatch.setattr(CT, "_P1_L0_MIN_S", 8)
+    lvl0 = [np.asarray(a) for a in CT._tile_candidates(
+        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    for a, b, nm in zip(lvl0, dense, ("cand", "meta", "bits")):
+        np.testing.assert_array_equal(a, b, err_msg=nm)
+    assert dense[1][:, 0].max() > 2  # non-trivial lists
+
+    # tiny K0 forces level-0 overflow: flagged, never silently wrong
+    monkeypatch.setattr(CT, "_P1_SUPER_K0", 1)
+    over = [np.asarray(a) for a in CT._tile_candidates(
+        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    assert over[1][:, 1].any()  # overflow flag set somewhere
+
+
 @pytest.mark.parametrize("seed", [3, 17, 42])
 def test_fuzz_candidates_vs_bruteforce(seed):
     """Randomized scenes + ray soups: candidate traversal must match the
