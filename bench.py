@@ -196,11 +196,11 @@ def main():
         "so G-window union gates stay tight (model: 0.81x MT pairs)",
     )
     ap.add_argument(
-        "--p1-fanout", type=int, default=None,
+        "--p1-fanout", type=int, default=8,
         help="phase-1 clusters per supergroup box (default: module constant 16)",
     )
     ap.add_argument(
-        "--p1-super-k", type=int, default=None,
+        "--p1-super-k", type=int, default=12,
         help="phase-1 admitted supergroups per tile; level-2 width = K*fanout "
         "slots (default 16; bench terrain admits ~6.2, max 11)",
     )

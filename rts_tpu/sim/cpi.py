@@ -38,6 +38,11 @@ PRESETS = {
         candidates=64,
         sub_tiles=8,
         mt_group=8,
+        # phase-1 hierarchy, measured best (docs/PERF.md sweep): 1024-tri
+        # supergroups (fanout 8) with a 12-deep admission cap -> level-2
+        # is only 96 slots; K=10 pays overflow fallbacks, K=16 filler
+        p1_fanout=8,
+        p1_super_k=12,
         refine=True,
         # replay block size; received lanes beyond the cap keep f32 and
         # check_replay_overflow warns LOUDLY — raise it (or 0 = all)
