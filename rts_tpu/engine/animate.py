@@ -40,6 +40,11 @@ class SceneBase(NamedTuple):
     tri_verts_t: jnp.ndarray  # [9, T] same data, component-major
     tri_corner_normals: jnp.ndarray  # [T, 3, 3] (t=0 attitude — rotated per hit, not per pulse)
     tri_target: jnp.ndarray  # [T] int32, -1 padding
+    # Fused hit-shading table [T, 10]: cols 0-8 the corner normals,
+    # col 9 the target id as a float (exact: |NT| << 2^23).  One gather
+    # per hit lane instead of two from separate [T, 3, 3] / [T] tables
+    # (the two share indices; XLA does not merge them).
+    shade_pack: jnp.ndarray  # [T, 10] (see above)
     target_refl: jnp.ndarray  # [NT]
     target_refr: jnp.ndarray  # [NT]
     # ds residuals (f64 minus f32) for the extended-precision replay
@@ -103,11 +108,16 @@ def scene_base(
             cl_mx=jnp.asarray(mx, dtype),
             cl_valid=jnp.asarray(valid),
         )
+    nrm = np.asarray(scene.tri_normals, np.dtype(dtype)).reshape(-1, 9)
+    shade = np.concatenate(
+        [nrm, np.asarray(scene.tri_target, np.dtype(dtype))[:, None]], axis=1
+    )
     return SceneBase(
         tri_verts=jnp.asarray(tv, dtype),
         tri_verts_t=jnp.asarray(np.ascontiguousarray(tv.reshape(-1, 9).T), dtype),
         tri_corner_normals=jnp.asarray(scene.tri_normals, dtype),
         tri_target=jnp.asarray(scene.tri_target, jnp.int32),
+        shade_pack=jnp.asarray(shade, dtype),
         target_refl=jnp.asarray(scene.target_refl_coeff, dtype),
         target_refr=jnp.asarray(scene.target_refr_index, dtype),
         **lo,
@@ -160,6 +170,7 @@ class ClusterScene(NamedTuple):
     aabb_mn: jnp.ndarray  # [C, 3]
     aabb_mx: jnp.ndarray  # [C, 3]
     base_corner_normals: jnp.ndarray  # [T, 3, 3] t=0 attitude (static)
+    shade_pack: jnp.ndarray  # [T, 10] corner normals + target-as-float (SceneBase)
     rot: jnp.ndarray  # [NT, 3, 3] extra attitude rotation this pulse
     tri_target: jnp.ndarray  # [T] int32
     target_refl: jnp.ndarray  # [NT]
@@ -289,6 +300,7 @@ def animate_packed(
         aabb_mn=aabb_mn,
         aabb_mx=aabb_mx,
         base_corner_normals=base.tri_corner_normals,
+        shade_pack=base.shade_pack,
         rot=rot,
         tri_target=base.tri_target,
         target_refl=base.target_refl,

@@ -164,7 +164,18 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     dtype = state.origin.dtype
 
     tri = jnp.clip(hit.tri, 0, scene.tri_target.shape[0] - 1)
-    targ = scene.tri_target[tri]
+    from rts_tpu.engine.animate import ClusterScene as _CS
+
+    fused = isinstance(scene, _CS) and cfg.interpolate_smooth
+    if fused:
+        # ONE [T, 10] gather yields both the per-lane target id and the
+        # corner normals (animate.SceneBase.shade_pack) — the separate
+        # [T] + [T, 3, 3] gathers share indices but XLA keeps them apart
+        shade = scene.shade_pack[tri]  # [L, 10]
+        targ = shade[:, 9].astype(jnp.int32)
+        fused_cn = shade[:, :9].reshape(-1, 3, 3)
+    else:
+        targ = scene.tri_target[tri]
     nt = scene.target_refl.shape[0]
     targ_safe = jnp.clip(targ, 0, nt - 1)
 
@@ -231,7 +242,7 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
             # Interpolate BASE normals, rotate the result per lane —
             # rotation is linear so this equals rotating all T normals
             # per pulse, at O(lanes) instead of O(T).
-            cn = scene.base_corner_normals[tri]  # [L, 3, 3]
+            cn = fused_cn  # [L, 3, 3] (from the fused shade_pack gather)
             nrm_b = (
                 cn[:, 1] * hit.beta[:, None]
                 + cn[:, 2] * hit.gamma[:, None]

@@ -165,9 +165,40 @@ def s_full():
     return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
 
 
+@jax.jit
+def s_sph():
+    # transcendental share: 2x cart_to_sph2 (atan2 + asin) + normalize,
+    # as the reflection path does per segment
+    from rts_tpu.engine.wavefront import _cart_to_sph2
+
+    def f(i):
+        s = ptb(i)
+        k0 = normalize3(s.direction + i * 0.0)
+        a0, e0 = _cart_to_sph2(k0)
+        a1, e1 = _cart_to_sph2(-k0)
+        return jnp.sum(a0 + e0 + a1 + e1) + jnp.sum(s.tmin)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
+def s_merge():
+    # the final where-merge over every LaneState field
+    def f(i):
+        s = ptb(i)
+        hm = s.active & hit0.found
+        def bm(m, a):
+            return m[:, None] if a.ndim == 2 else m
+        s2 = s._replace(power=s.power * 1.0001, tmin=s.tmin + 1e-7)
+        merged = jax.tree.map(lambda a, b: jnp.where(bm(hm, a), a, b), s2, s)
+        return jnp.sum(merged.power) + jnp.sum(merged.origin)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
 timed("gathers (targ + corner normals)", s_gathers)
 timed("normals (gathers + interp + rot + norm)", s_normals)
 timed("records (path/rcs/tri_seq scatter_col)", s_records)
+timed("sph (2x cart_to_sph2 + normalize)", s_sph)
+timed("merge (state-wide where over hit mask)", s_merge)
 timed("miss only", s_miss)
 timed("full hit+miss shading", s_full)
 print("SHADPROF2 DONE")
