@@ -106,6 +106,15 @@ def s_gathers():
 
 
 @jax.jit
+def s_gather_fused():
+    def f(i):
+        tri = jnp.clip(hit0.tri, 0, sc0.tri_target.shape[0] - 1) + jnp.int32(0 * i)
+        shade = sc0.shade_pack[tri]
+        return jnp.sum(shade)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+@jax.jit
 def s_normals():
     def f(i):
         s = ptb(i)
@@ -194,7 +203,8 @@ def s_merge():
     return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
 
 
-timed("gathers (targ + corner normals)", s_gathers)
+timed("gathers (targ + corner normals, split)", s_gathers)
+timed("gather (fused shade_pack)", s_gather_fused)
 timed("normals (gathers + interp + rot + norm)", s_normals)
 timed("records (path/rcs/tri_seq scatter_col)", s_records)
 timed("sph (2x cart_to_sph2 + normalize)", s_sph)
