@@ -370,7 +370,12 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     rcs_col_r = (refl_depth - 1) + state.refr_depth
     rcs = rcs.at[:l].set(_scatter_col(rcs[:l], rcs_col_r, rcs_val_r, do_refl))
 
-    new = LaneState(
+    # No outer hit_mask merge is needed: every field above is computed
+    # with an inner where on ``gate`` (or a mask contained in it), so it
+    # already equals the incoming state wherever gate is false — the
+    # single exception is ``active`` (do_refl would wrongly kill
+    # non-hit lanes), folded into one expression here.
+    merged = LaneState(
         origin=origin,
         direction=direction,
         seg_dir=seg_dir,
@@ -386,16 +391,11 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         received=state.received,
         first_hit=first_hit,
         end=end,
-        active=do_refl,
+        active=do_refl | (~hit_mask & state.active),
         born=state.born,
         tri_seq=tri_seq,
         cap_bits=state.cap_bits,
         cap_root0_bits=state.cap_root0_bits,
-    )
-
-    # merge into lanes untouched by a hit
-    merged = jax.tree.map(
-        lambda a, b: jnp.where(_bmask(hit_mask, a), a, b), new, state
     )
 
     # spawn children via uniform +n3 shift
