@@ -216,6 +216,27 @@ class TestStrictParity:
 
 
 class TestDepthEdge:
+    def test_depth_capped_corridor(self):
+        """Lanes that HIT geometry after exhausting the bounce budget
+        (hit_mask true, entry gate false) must keep their state unchanged
+        except for deactivation — the edge the merge-free _process_hit
+        state construction relies on (normal_shader.cu:134 entry gate).
+        Two facing plates form a corridor so every lane keeps hitting
+        after refl_depth caps at max_refl_depth."""
+        p1 = rect_mesh(2.0, 300.0, 300.0).translated([1000.0, 0.0, 0.0])
+        p2 = rect_mesh(2.0, 300.0, 300.0).translated([-500.0, 0.0, 0.0])
+        scene = compile_scene(
+            [p1, p2], [1.0, -1.0], [1.0, 1.0],
+            [np.array([40.0, 5.0, 0.0]), np.zeros(3)],
+        )
+        params = Parameters(num_rays=3, max_refl_depth=2)
+        o, e = run_both(
+            scene, params, [0, 0, 0], [0.0, 0.0], [0.05, 0.05, 0.0],
+            monostatic_rx(radius=25.0),
+        )
+        assert (o.refl_depth >= 2).any()  # depth-capped hits exercised
+        assert_match(o, e)
+
     def test_zero_reflections(self):
         mesh = rect_mesh(2.0, 200.0, 200.0).translated([1000.0, 0.0, 0.0])
         scene = compile_scene([mesh], [1.0], [1.0], [np.zeros(3)])
