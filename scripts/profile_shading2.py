@@ -203,7 +203,98 @@ def s_merge():
     return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
 
 
+# ---- candidate-window MXU extraction: the structured alternative to the
+# plain [T, F] row gather.  Per ray tile, the winning tri lies in one of
+# ~13 candidate clusters; extracting shade rows as a one-hot [rt, Kx*cs]
+# MXU contraction against just those clusters' rows turns 250k random
+# 40 B reads into a few block reads + a tiny matmul.  Candidate lists are
+# PREP (built host-side from the actual winners; phase 1 already provides
+# them in the real pipeline).
+cs_x = args.cluster_size
+K_x = 16
+F_x = 10
+tri_np = np.asarray(jnp.clip(hit0.tri, 0, sc0.tri_target.shape[0] - 1))
+Lt = (l // args.ray_tile) * args.ray_tile
+tiles_x = Lt // args.ray_tile
+w_cl = (tri_np[:Lt] // cs_x).reshape(tiles_x, args.ray_tile)
+cand_np = np.zeros((tiles_x, K_x), np.int32)
+for t in range(tiles_x):
+    u = np.unique(w_cl[t])[:K_x]
+    cand_np[t, : len(u)] = u
+    if len(u) < K_x:
+        cand_np[t, len(u):] = u[-1] if len(u) else 0
+cand_x = jnp.asarray(cand_np)
+C_x = (sc0.shade_pack.shape[0] + cs_x - 1) // cs_x
+pad_rows = C_x * cs_x - sc0.shade_pack.shape[0]
+shade_rows = jnp.pad(sc0.shade_pack, ((0, pad_rows), (0, 0))).reshape(C_x, cs_x, F_x)
+tri_t = jnp.asarray(tri_np[:Lt]).reshape(tiles_x, args.ray_tile)
+CH = 61 if tiles_x % 61 == 0 else 1
+assert tiles_x % CH == 0, tiles_x
+
+
+@jax.jit
+def s_gather_mxu():
+    def f(i):
+        tri3 = tri_t + jnp.int32(0 * i)
+        wcl = tri3 // cs_x  # [tiles, rt]
+        # slot of the winning cluster in the tile's candidate list
+        match = cand_x[:, None, :] == wcl[:, :, None]  # [tiles, rt, Kx]
+        k = jnp.argmax(match, axis=-1)  # [tiles, rt]
+        col = k * cs_x + (tri3 % cs_x)  # [tiles, rt]
+        rows = shade_rows[cand_x]  # [tiles, Kx, cs, F] block gather
+        rows2 = rows.reshape(tiles_x, K_x * cs_x, F_x)
+
+        def chunk(c):
+            colc, rowc = c
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (CH, args.ray_tile, K_x * cs_x), 2)
+                == colc[:, :, None]
+            ).astype(jnp.float32)
+            return jnp.einsum(
+                "trc,tcf->trf", oh, rowc, precision=jax.lax.Precision.HIGHEST
+            )
+
+        out = jax.lax.map(
+            chunk,
+            (
+                col.reshape(-1, CH, args.ray_tile),
+                rows2.reshape(-1, CH, K_x * cs_x, F_x),
+            ),
+        )
+        return jnp.sum(out)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
+# ---- [T, 16] row-major MT-field gather + beta/gamma recompute: the
+# outside-the-kernel cost of thinning the Pallas epilogue to (t, tri)
+# only (drop in-loop one-hot barycentric extraction).
+hit_rows = jnp.transpose(sc0.tri_pack)  # [Tp, 16] row-contiguous
+
+
+@jax.jit
+def s_gather16():
+    def f(i):
+        s = ptb(i)
+        tri = jnp.clip(hit0.tri, 0, hit_rows.shape[0] - 1) + jnp.int32(0 * i)
+        rows = hit_rows[tri]  # [L, 16]
+        o, d = s.origin, s.direction
+        m = jnp.stack([
+            d[:, 1] * o[:, 2] - d[:, 2] * o[:, 1],
+            d[:, 2] * o[:, 0] - d[:, 0] * o[:, 2],
+            d[:, 0] * o[:, 1] - d[:, 1] * o[:, 0],
+        ], axis=-1)
+        dsum = lambda a, f0: a[:, 0] * rows[:, f0] + a[:, 1] * rows[:, f0 + 1] + a[:, 2] * rows[:, f0 + 2]
+        denom = dsum(d, 0)
+        inv = 1.0 / denom
+        beta = (dsum(d, 3) - dsum(m, 9)) * inv
+        gamma = (dsum(d, 6) - dsum(m, 12)) * inv
+        return jnp.sum(beta) + jnp.sum(gamma)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
 timed("gathers (targ + corner normals, split)", s_gathers)
+timed("gather via candidate-window MXU one-hot", s_gather_mxu)
+timed("gather16 (hit-table rows + beta/gamma recompute)", s_gather16)
 timed("gather (fused shade_pack)", s_gather_fused)
 timed("normals (gathers + interp + rot + norm)", s_normals)
 timed("records (path/rcs/tri_seq scatter_col)", s_records)
