@@ -148,6 +148,7 @@ def build(args):
         cand_order=args.cand_order,
         p1_fanout=getattr(args, "p1_fanout", None),
         p1_super_k=getattr(args, "p1_super_k", None),
+        shade_gather=getattr(args, "shade_gather", "row"),
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -203,6 +204,11 @@ def main():
         "--p1-super-k", type=int, default=12,
         help="phase-1 admitted supergroups per tile; level-2 width = K*fanout "
         "slots (default 16; bench terrain admits ~6.2, max 11)",
+    )
+    ap.add_argument(
+        "--shade-gather", choices=("row", "window"), default="row",
+        help="hit-shading attribute gather: plain row gather, or per-tile "
+        "winner-cluster block gather + one-hot MXU extraction",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -171,7 +171,9 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         # ONE [T, 10] gather yields both the per-lane target id and the
         # corner normals (animate.SceneBase.shade_pack) — the separate
         # [T] + [T, 3, 3] gathers share indices but XLA keeps them apart
-        shade = scene.shade_pack[tri]  # [L, 10]
+        from rts_tpu.engine.shade_gather import gather_shade
+
+        shade = gather_shade(scene.shade_pack, tri, cfg)  # [L, 10]
         targ = shade[:, 9].astype(jnp.int32)
         fused_cn = shade[:, :9].reshape(-1, 3, 3)
     else:

@@ -68,6 +68,8 @@ _PREPARE_DEFAULTS = dict(
     cand_order="near",
     p1_fanout=None,
     p1_super_k=None,
+    shade_gather="row",
+    shade_window_k=16,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -305,6 +307,8 @@ def prepare_cpi(
         cand_order=opts["cand_order"],
         p1_fanout=opts["p1_fanout"],
         p1_super_k=opts["p1_super_k"],
+        shade_gather=opts["shade_gather"],
+        shade_window_k=opts["shade_window_k"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

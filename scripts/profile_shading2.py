@@ -292,8 +292,23 @@ def s_gather16():
     return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
 
 
+from rts_tpu.engine.shade_gather import shade_rows_window
+
+
+@jax.jit
+def s_gather_window():
+    # the PRODUCTION winner-window path (engine/shade_gather.py): on-
+    # device list build (sort+scatter) + block gather + one-hot MXU
+    def f(i):
+        tri = jnp.clip(hit0.tri, 0, sc0.shade_pack.shape[0] - 1) + jnp.int32(0 * i)
+        rows, ovf = shade_rows_window(sc0.shade_pack, tri, args.ray_tile, args.cluster_size)
+        return jnp.sum(rows) + ovf.astype(jnp.float32)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
 timed("gathers (targ + corner normals, split)", s_gathers)
 timed("gather via candidate-window MXU one-hot", s_gather_mxu)
+timed("gather via winner-window (production path)", s_gather_window)
 timed("gather16 (hit-table rows + beta/gamma recompute)", s_gather16)
 timed("gather (fused shade_pack)", s_gather_fused)
 timed("normals (gathers + interp + rot + norm)", s_normals)
