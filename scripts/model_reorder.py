@@ -149,6 +149,9 @@ def main():
     ap.add_argument("--cs", type=int, default=256)
     ap.add_argument("--rt", type=int, default=512)
     ap.add_argument("--st", type=int, default=8)
+    ap.add_argument("--p1-fanout", type=int, default=None)
+    ap.add_argument("--p1-super-k", type=int, default=None)
+    ap.add_argument("--bounces", type=int, default=1, help="bounce segments to model")
     args = ap.parse_args()
 
     import jax
@@ -196,6 +199,7 @@ def main():
             np.asarray(x) for x in _tile_candidates(
                 jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm),
                 jnp.asarray(mn), jnp.asarray(mx), args.rt, args.st, args.cand,
+                p1_fanout=args.p1_fanout, p1_super_k=args.p1_super_k,
             )
         )
         tiles = o.shape[0] // args.rt
@@ -239,49 +243,54 @@ def main():
     # ---- primary segment
     ov, tnear, cand, meta, ot, dt, tmt = segment_model(origin, fan, tmin, "primary")
 
-    # ---- bounce segment: mirror-reflect at the nearest-candidate hit.
-    # Host-side closest hit over each tile's candidate clusters (matches
-    # kernel semantics for non-overflow tiles; good enough for the model).
-    tiles = ot.shape[0]
-    best_t = np.full((tiles, args.rt), np.inf, np.float32)
-    best_n = np.zeros((tiles, args.rt, 3), np.float32)
-    for ti in range(tiles):
-        k = int(meta[ti, 0])
-        if k == 0:
-            continue
-        cols = []
-        for q in range(k):
-            c = int(cand[ti, q])
-            cols.append(pack[:, c * args.cs:(c + 1) * args.cs])
-        p = np.concatenate(cols, axis=1)  # [16, k*cs]
-        o_, d_ = ot[ti], dt[ti]
-        m = np.cross(d_, o_)
-        n_t, c1_t, c0_t = p[0:3], p[3:6], p[6:9]
-        e1_t, e0_t, np0 = p[9:12], p[12:15], p[15]
-        denom = d_ @ n_t
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = 1.0 / denom
-            tt = (np0[None, :] - o_ @ n_t) * inv
-            beta = (d_ @ c1_t - m @ e1_t) * inv
-            gamma = (d_ @ c0_t - m @ e0_t) * inv
-        valid = (tt > tmt[ti][:, None]) & (tt < BIG) & (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1.0)
-        tm_ = np.where(valid, tt, np.inf)
-        j = np.argmin(tm_, axis=1)
-        rows = np.arange(args.rt)
-        tj = tm_[rows, j]
-        best_t[ti] = tj
-        best_n[ti] = n_t[:, j].T
-    hit = np.isfinite(best_t)
-    nrm = best_n / np.maximum(np.linalg.norm(best_n, axis=2, keepdims=True), 1e-30)
-    d2 = dt - 2.0 * (dt * nrm).sum(axis=2, keepdims=True) * nrm
-    o2 = ot + best_t[:, :, None] * dt
-    o2 = np.where(hit[:, :, None], o2, 0.0)
-    d2 = np.where(hit[:, :, None], d2, 0.0)  # dead lanes: d=0 (matches engine)
-    print(f"bounce: {hit.mean() * 100:.1f}% of lanes alive")
-    segment_model(
-        o2.reshape(-1, 3), d2.reshape(-1, 3),
-        np.full((tiles * args.rt,), 5e-3, np.float32), "bounce-1",
-    )
+    def bounce_from(ot, dt, tmt, cand, meta):
+        """Mirror-reflect at the nearest-candidate hit.  Host-side closest
+        hit over each tile's candidate clusters (matches kernel semantics
+        for non-overflow tiles; good enough for the model)."""
+        tiles = ot.shape[0]
+        best_t = np.full((tiles, args.rt), np.inf, np.float32)
+        best_n = np.zeros((tiles, args.rt, 3), np.float32)
+        for ti in range(tiles):
+            k = int(meta[ti, 0])
+            if k == 0:
+                continue
+            cols = []
+            for q in range(k):
+                c = int(cand[ti, q])
+                cols.append(pack[:, c * args.cs:(c + 1) * args.cs])
+            p = np.concatenate(cols, axis=1)  # [16, k*cs]
+            o_, d_ = ot[ti], dt[ti]
+            m = np.cross(d_, o_)
+            n_t, c1_t, c0_t = p[0:3], p[3:6], p[6:9]
+            e1_t, e0_t, np0 = p[9:12], p[12:15], p[15]
+            denom = d_ @ n_t
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / denom
+                tt = (np0[None, :] - o_ @ n_t) * inv
+                beta = (d_ @ c1_t - m @ e1_t) * inv
+                gamma = (d_ @ c0_t - m @ e0_t) * inv
+            valid = (tt > tmt[ti][:, None]) & (tt < BIG) & (beta >= 0) & (gamma >= 0) & (beta + gamma <= 1.0)
+            tm_ = np.where(valid, tt, np.inf)
+            j = np.argmin(tm_, axis=1)
+            rows = np.arange(args.rt)
+            tj = tm_[rows, j]
+            best_t[ti] = tj
+            best_n[ti] = n_t[:, j].T
+        hit = np.isfinite(best_t)
+        nrm = best_n / np.maximum(np.linalg.norm(best_n, axis=2, keepdims=True), 1e-30)
+        d2 = dt - 2.0 * (dt * nrm).sum(axis=2, keepdims=True) * nrm
+        o2 = ot + best_t[:, :, None] * dt
+        o2 = np.where(hit[:, :, None], o2, 0.0)
+        d2 = np.where(hit[:, :, None], d2, 0.0)  # dead lanes: d=0 (matches engine)
+        print(f"bounce: {hit.mean() * 100:.1f}% of lanes alive")
+        return o2, d2
+
+    for b in range(args.bounces):
+        o2, d2 = bounce_from(ot, dt, tmt, cand, meta)
+        ov, tnear, cand, meta, ot, dt, tmt = segment_model(
+            o2.reshape(-1, 3), d2.reshape(-1, 3),
+            np.full((o2.shape[0] * args.rt,), 5e-3, np.float32), f"bounce-{b + 1}",
+        )
 
 
 if __name__ == "__main__":
