@@ -306,9 +306,27 @@ def s_gather_window():
     return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
 
 
+@jax.jit
+def s_gather_smalltab():
+    # winner-window block gather, then per-tile take_along_axis from the
+    # small [kw*cs, F] per-tile table — separates gather-ADDRESS cost
+    # (unchanged) from table-SIZE cost (40 MB -> 80 KB per tile)
+    def f(i):
+        tri3 = tri_t + jnp.int32(0 * i)
+        wcl = tri3 // cs_x
+        match = cand_x[:, None, :] == wcl[:, :, None]
+        k = jnp.argmax(match, axis=-1)
+        col = k * cs_x + (tri3 % cs_x)  # [tiles, rt]
+        rows = shade_rows[cand_x].reshape(tiles_x, K_x * cs_x, F_x)
+        out = jnp.take_along_axis(rows, col[:, :, None], axis=1)
+        return jnp.sum(out)
+    return jax.lax.map(f, jnp.arange(P, dtype=jnp.float32))
+
+
 timed("gathers (targ + corner normals, split)", s_gathers)
 timed("gather via candidate-window MXU one-hot", s_gather_mxu)
 timed("gather via winner-window (production path)", s_gather_window)
+timed("gather via small per-tile table (take_along)", s_gather_smalltab)
 timed("gather16 (hit-table rows + beta/gamma recompute)", s_gather16)
 timed("gather (fused shade_pack)", s_gather_fused)
 timed("normals (gathers + interp + rot + norm)", s_normals)
