@@ -98,13 +98,18 @@ def shade_rows_window(table, tri, ray_tile: int, cluster_size: int, window_k: in
 
     def chunk(args):
         col_c, rows_c = args  # [ch, rt], [ch, kw*cs, F]
+        # one-hot laid out [tiles, cols, rays] so the contraction maps to
+        # an MXU matmul with M=F (pads 10->16 sublanes), N=rt, K=kw*cs —
+        # the [.., rays, cols] x [.., cols, F] orientation would pad the
+        # tiny F onto the 128-wide N axis (~8x more hardware flops)
         oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (ch, rt, kw * cs), 2)
-            == col_c[:, :, None]
+            jax.lax.broadcasted_iota(jnp.int32, (ch, kw * cs, rt), 1)
+            == col_c[:, None, :]
         ).astype(table.dtype)
-        return jnp.einsum(
-            "trc,tcf->trf", oh, rows_c, precision=jax.lax.Precision.HIGHEST
+        out_fr = jnp.einsum(
+            "tcf,tcr->tfr", rows_c, oh, precision=jax.lax.Precision.HIGHEST
         )
+        return jnp.swapaxes(out_fr, 1, 2)  # [ch, rt, F]
 
     out = jax.lax.map(
         chunk,

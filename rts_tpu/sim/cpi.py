@@ -100,7 +100,9 @@ def prepare_cpi(
     tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
     ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
     fan_order="raster", interpret=False, refine=False, replay_cap=0,
-    rx_geom_on_device=False``.
+    rx_geom_on_device=False, shade_gather="row", shade_window_k=16``
+    (``shade_gather="window"`` = winner-cluster block gather + one-hot
+    MXU extraction for hit shading, engine/shade_gather.py).
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
