@@ -149,6 +149,7 @@ def build(args):
         p1_fanout=getattr(args, "p1_fanout", None),
         p1_super_k=getattr(args, "p1_super_k", None),
         shade_gather=getattr(args, "shade_gather", "row"),
+        compact_narrow=getattr(args, "compact_narrow", 0),
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
@@ -209,6 +210,11 @@ def main():
         "--shade-gather", choices=("row", "window"), default="row",
         help="hit-shading attribute gather: plain row gather, or per-tile "
         "winner-cluster block gather + one-hot MXU extraction",
+    )
+    ap.add_argument(
+        "--compact-narrow", type=int, default=0,
+        help="late-segment narrow tile budget divisor (0 = off): gather "
+        "live ray tiles into a ceil(tiles/N)-tile block once they fit",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -171,6 +171,14 @@ class TraceConfig:
     # fan misses at segment 1; loses (sort+permute overhead) when the fan
     # mostly hits, as in the bench scenes — default off.
     compact_lanes: bool = False
+    # Tile-granular narrow late segments (accel="cluster"): once the
+    # live ray tiles of a post-spawn segment fit ceil(tiles/N) tiles,
+    # gather just those tiles (plus the partial tail tile), trace the
+    # narrow block and scatter rows back — phase 1 and shading then pay
+    # ~1/N of their static-shape cost on nearly-dead segments, and a
+    # lax.cond keeps full width while too many tiles are alive
+    # (bit-identical either way).  0/1 = off.
+    compact_narrow: int = 0
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
     # Extended-precision (double-single) path replay: after the f32 trace,
     # re-evaluate ray_length/power/doppler along the recorded chains so

@@ -159,7 +159,14 @@ def _scatter_col(buf, col, value, mask):
 # hit processing (closest_hit program analogue)
 
 
-def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig, n3: int):
+def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig, n3: int, spawn: bool = True):
+    """``spawn=False`` statically skips the refraction-spawn machinery.
+    Only valid for segments where no spawn can occur (after the first
+    two: spawning needs refl_depth == 0 and refr_depth < max_refr_dev,
+    both impossible from segment 3 on) — the skipped updates are all
+    gated by a provably all-False mask there, so results are identical;
+    it also lets narrow lane blocks trace without the full-fan n3 lane
+    shifts (see trace_fan's compact_narrow path)."""
     l = state.origin.shape[0]
     dtype = state.origin.dtype
 
@@ -283,15 +290,15 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
 
     # --- refraction spawn (normal_shader.cu:191-281)
     refr_prev_new = state.refr_cur  # prd_refr.refrIndex.x = old .y
-    spawn = jnp.zeros((l,), bool)
+    spawn_mask = jnp.zeros((l,), bool)
     rcs = bufs.rcs
     child = None
-    if cfg.refraction_on:
+    if cfg.refraction_on and spawn:
         can = gate & (jnp.abs(refl_c) != 1.0) & (state.refr_depth < cfg.max_refr_dev) & (state.refl_depth == 0)
         refr_cur_child = jnp.where(refr_prev_new == 1.0, _tgather(scene.target_refr), 1.0)
         ratio = _q32(refr_cur_child / refr_prev_new, cfg)
         refr_dir, refr_ok = _refract(state.seg_dir, normal_f, ratio, cfg)
-        spawn = can & refr_ok
+        spawn_mask = can & refr_ok
 
         child_power = jnp.where(state.refl_depth + 1 < cfg.max_refl_dev, power * (1.0 - jnp.abs(refl_c)), power)
         k1 = normalize3(refr_dir)
@@ -328,12 +335,12 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
                 rcs[:l],
                 _shift_down(child_col, n3),
                 _shift_down(rcs_val, n3),
-                _shift_down(spawn, n3),
+                _shift_down(spawn_mask, n3),
             )
         )
 
         # pre-filled trapped/exiting path rows (normal_shader.cu:221-239)
-        prefill = spawn & (state.refr_depth == 0) & (state.slot_base == 0)
+        prefill = spawn_mask & (state.refr_depth == 0) & (state.slot_base == 0)
         r_rows = path.shape[0]
         ncols = cfg.depth_total
         # trapped row (slot 1): every column
@@ -401,9 +408,9 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     )
 
     # spawn children via uniform +n3 shift
-    if cfg.refraction_on:
+    if cfg.refraction_on and spawn:
         shifted_child = jax.tree.map(partial(_shift_down, n3=n3), child)
-        shifted_spawn = _shift_down(spawn, n3=n3)
+        shifted_spawn = _shift_down(spawn_mask, n3=n3)
         merged = jax.tree.map(
             lambda c, s: jnp.where(_bmask(shifted_spawn, c), c, s), shifted_child, merged
         )
@@ -735,7 +742,7 @@ def trace_fan(
                 tri_chunk=cfg.tri_chunk,
             )
 
-    def body(_, carry):
+    def body(_, carry, spawn=True):
         state, bufs = carry
         # Zero the direction of terminated/unborn lanes: their hit results
         # are never consumed (hit/miss masks AND with active), and a zero
@@ -746,7 +753,7 @@ def trace_fan(
         hit_mask = state.active & hit.found
         miss_mask = state.active & ~hit.found
         state = _process_miss(state, miss_mask, rx, tx_origin, cfg)
-        state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg, n3)
+        state, bufs = _process_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg, n3, spawn=spawn)
         return state, bufs
 
     # Lane positions only matter while refraction children can spawn
@@ -757,7 +764,8 @@ def trace_fan(
     # every supercluster, so late segments cost ~nothing.  The
     # permutation is undone before results are assembled.
     lane_perm = None
-    if cfg.compact_lanes and cfg.accel == "cluster":
+    use_narrow = cfg.compact_narrow > 1 and cfg.accel == "cluster"
+    if (cfg.compact_lanes or use_narrow) and cfg.accel == "cluster":
         spawn_segments = min(cfg.num_segments, 2 if cfg.refraction_on else 1)
         for _ in range(spawn_segments):
             state, bufs = body(0, (state, bufs))
@@ -765,7 +773,7 @@ def trace_fan(
     else:
         state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
         remaining = 0
-    if remaining > 0:
+    if remaining > 0 and cfg.compact_lanes:
         lanes_n = state.origin.shape[0]
         # Sort key: dead lanes last; live lanes Morton-ordered by their
         # bounce origin so the re-formed 256-ray tiles are spatially
@@ -779,7 +787,70 @@ def trace_fan(
         )
 
     if remaining > 0:
-        state, bufs = jax.lax.fori_loop(0, remaining, body, (state, bufs))
+        seg_body = body
+        if use_narrow:
+            # Tile-granular narrow segments: late bounce segments keep
+            # ~1% of lanes alive (docs/PERF.md, model_reorder --bounces),
+            # yet phase 1 and shading pay the full static lane count.
+            # Once the LIVE ray tiles fit a narrow static budget, gather
+            # just those tiles (plus the partial tail tile verbatim),
+            # trace the narrow block, and scatter the rows back.  Tile
+            # membership is preserved exactly — phase-1 lists, kernel
+            # grid steps and per-lane shading see identical inputs — so
+            # results are BIT-identical to the full-width trace; a
+            # lax.cond falls back to full width while too many tiles
+            # are alive (spawn machinery is inert here: children only
+            # spawn in the first two segments, see spawn_segments).
+            rt = cfg.ray_tile
+            lanes_n = state.origin.shape[0]
+            tiles_full = lanes_n // rt
+            tail = lanes_n - tiles_full * rt
+            nt = -(-tiles_full // cfg.compact_narrow)
+            if nt < tiles_full:
+                nl = nt * rt + tail
+
+                def narrow_seg(carry):
+                    state, bufs = carry
+                    live_t = jnp.any(
+                        state.active[: tiles_full * rt].reshape(tiles_full, rt),
+                        axis=1,
+                    )
+                    # live tiles first (stable: by tile index within each
+                    # class); take the first nt slots
+                    t_order = jnp.argsort(~live_t, stable=True)[:nt]
+                    rows = (
+                        t_order[:, None] * rt + jnp.arange(rt, dtype=t_order.dtype)[None, :]
+                    ).reshape(-1)
+                    rows = jnp.concatenate(
+                        [rows, jnp.arange(tiles_full * rt, lanes_n, dtype=rows.dtype)]
+                    )
+                    s_n = jax.tree.map(lambda a: a[rows], state)
+                    b_n = TraceBuffers(path=bufs.path[rows], rcs=bufs.rcs[rows])
+                    # spawn=False: required at narrow width (the +n3 child
+                    # shift doesn't shape-check) and provably inert here —
+                    # remaining segments start after spawn_segments
+                    s_n, b_n = body(0, (s_n, b_n), spawn=False)
+                    state2 = jax.tree.map(lambda a, b: a.at[rows].set(b), state, s_n)
+                    bufs2 = TraceBuffers(
+                        path=bufs.path.at[rows].set(b_n.path),
+                        rcs=bufs.rcs.at[rows].set(b_n.rcs),
+                    )
+                    return state2, bufs2
+
+                def seg_body(_, carry):
+                    state, _bufs = carry
+                    live_t = jnp.any(
+                        state.active[: tiles_full * rt].reshape(tiles_full, rt),
+                        axis=1,
+                    )
+                    return jax.lax.cond(
+                        jnp.sum(live_t.astype(jnp.int32)) <= nt,
+                        narrow_seg,
+                        lambda c: body(0, c),
+                        carry,
+                    )
+
+        state, bufs = jax.lax.fori_loop(0, remaining, seg_body, (state, bufs))
 
     if lane_perm is not None:
         lanes_n = state.origin.shape[0]

@@ -70,6 +70,7 @@ _PREPARE_DEFAULTS = dict(
     p1_super_k=None,
     shade_gather="row",
     shade_window_k=16,
+    compact_narrow=0,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -100,9 +101,11 @@ def prepare_cpi(
     tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
     ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
     fan_order="raster", interpret=False, refine=False, replay_cap=0,
-    rx_geom_on_device=False, shade_gather="row", shade_window_k=16``
-    (``shade_gather="window"`` = winner-cluster block gather + one-hot
-    MXU extraction for hit shading, engine/shade_gather.py).
+    rx_geom_on_device=False, shade_gather="row", shade_window_k=16,
+    compact_narrow=0`` (``shade_gather="window"`` = winner-cluster block
+    gather + one-hot MXU extraction for hit shading,
+    engine/shade_gather.py; ``compact_narrow=N`` = gather live ray tiles
+    of nearly-dead late segments into a ceil(tiles/N)-tile block).
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
@@ -311,6 +314,7 @@ def prepare_cpi(
         p1_super_k=opts["p1_super_k"],
         shade_gather=opts["shade_gather"],
         shade_window_k=opts["shade_window_k"],
+        compact_narrow=opts["compact_narrow"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,

@@ -1,0 +1,110 @@
+"""Tile-granular narrow late segments (TraceConfig.compact_narrow).
+
+Narrow segments gather live ray tiles into a static narrow block and
+scatter results back; tile membership is preserved, so every TraceResult
+field must be BIT-identical to the full-width trace — both when the
+narrow branch fires (few live tiles) and when the lax.cond falls back to
+full width (too many live tiles).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rts_tpu.config import Parameters
+from rts_tpu.engine import RxGeomDevice, TraceConfig, scene_to_device, trace_pulse
+from rts_tpu.geometry import sphere_mesh
+from rts_tpu.geometry.scene import compile_scene
+from rts_tpu.physics import rx_sphere_geometry
+
+RT = 128
+NARROW = 2
+
+
+def monostatic_rx(radius=5.0):
+    return rx_sphere_geometry(
+        rx_pos=np.zeros((1, 3)),
+        rx_azimuth=np.array([0.0]),
+        rx_elevation=np.array([0.0]),
+        sphere_radius=np.array([radius]),
+        theta_span=np.array([1.0]),
+        phi_span=np.array([1.0]),
+    )
+
+
+def run_engine(scene, params, narrow):
+    cfg = TraceConfig.from_parameters(
+        params, accel="cluster", cluster_size=64, ray_tile=RT,
+        interpret=True, compact_narrow=narrow,
+    )
+    dev = scene_to_device(scene, dtype=jnp.float32)
+    rx = RxGeomDevice.from_host(monostatic_rx(), dtype=jnp.float32)
+    return trace_pulse(
+        dev, rx, jnp.asarray([0.0, 0.0, 0.0], jnp.float32),
+        (0.0, 0.0), (0.1, 0.1, 0.0), cfg,
+    )
+
+
+def assert_bit_identical(a, b):
+    for name in a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)), err_msg=name
+        )
+
+
+class TestNarrowSegments:
+    def test_narrow_fires_bit_identical(self):
+        """Plate subtending ~1 ray spacing of a 9^3 fan: only a handful
+        of primaries survive segment 1, so the live tiles provably fit
+        the ceil(tiles/2) budget and the narrow branch fires."""
+        mesh, _ = sphere_mesh(2, 7.0)
+        scene = compile_scene(
+            [mesh.translated([1000.0, 0.0, 0.0])], [0.9], [1.0], [np.array([40.0, 5.0, 0.0])]
+        )
+        params = Parameters(num_rays=9, max_refl_depth=2)
+        ref = run_engine(scene, params, 0)
+        nar = run_engine(scene, params, NARROW)
+        assert_bit_identical(ref, nar)
+        # the narrow branch fired iff live tiles fit the budget; live
+        # lanes at every post-spawn segment are a subset of segment-1
+        # hitters (refl_depth >= 1 — it only grows on hits)
+        refl = np.asarray(ref.refl_depth) >= 1
+        assert refl.sum() >= 1
+        n3 = 9**3
+        tiles_full = n3 // RT
+        nt = -(-tiles_full // NARROW)
+        live_tiles = np.unique(np.nonzero(refl[: tiles_full * RT])[0] // RT)
+        assert 1 <= len(live_tiles) <= nt, (
+            f"test scene no longer collapses ({len(live_tiles)} live tiles "
+            f"vs budget {nt}) — shrink the plate"
+        )
+
+    def test_wide_fallback_bit_identical(self):
+        """Huge plate: every tile keeps live lanes, the cond takes the
+        full-width branch — still identical."""
+        mesh, _ = sphere_mesh(2, 80.0)
+        scene = compile_scene(
+            [mesh.translated([400.0, 0.0, 0.0])], [0.9], [1.0], [np.array([40.0, 5.0, 0.0])]
+        )
+        params = Parameters(num_rays=9, max_refl_depth=2)
+        ref = run_engine(scene, params, 0)
+        nar = run_engine(scene, params, NARROW)
+        assert_bit_identical(ref, nar)
+        refl = np.asarray(ref.refl_depth) >= 1
+        n3 = 9**3
+        tiles_full = n3 // RT
+        nt = -(-tiles_full // NARROW)
+        live_tiles = np.unique(np.nonzero(refl[: tiles_full * RT])[0] // RT)
+        assert len(live_tiles) > nt  # sanity: this case exercises the fallback
+
+    def test_narrow_with_refraction(self):
+        """Dielectric slab: children spawn in segments 1-2; narrow
+        segments start after and must skip the inert spawn machinery
+        while staying bit-identical (lanes = 3*n3 here)."""
+        mesh, _ = sphere_mesh(2, 7.0)
+        scene = compile_scene(
+            [mesh.translated([1000.0, 0.0, 0.0])], [0.6], [1.5], [np.array([40.0, 5.0, 0.0])]
+        )
+        params = Parameters(num_rays=9, max_refl_depth=2, max_refr_depth=2)
+        ref = run_engine(scene, params, 0)
+        nar = run_engine(scene, params, NARROW)
+        assert_bit_identical(ref, nar)
