@@ -839,14 +839,22 @@ def trace_fan(
 
                 def seg_body(_, carry):
                     state, _bufs = carry
+                    n_live = jnp.sum(state.active.astype(jnp.int32))
                     live_t = jnp.any(
                         state.active[: tiles_full * rt].reshape(tiles_full, rt),
                         axis=1,
                     )
+                    # a fully-dead segment is a no-op (every update in the
+                    # body is gated on active) — skip even the narrow trace
                     return jax.lax.cond(
-                        jnp.sum(live_t.astype(jnp.int32)) <= nt,
-                        narrow_seg,
-                        lambda c: body(0, c),
+                        n_live == 0,
+                        lambda c: c,
+                        lambda c: jax.lax.cond(
+                            jnp.sum(live_t.astype(jnp.int32)) <= nt,
+                            narrow_seg,
+                            lambda c2: body(0, c2),
+                            c,
+                        ),
                         carry,
                     )
 

@@ -31,3 +31,9 @@ echo "=== STAGE shade-gather window bench (vs row default above) ==="
 timeout 4800 python -u bench.py --repeat 1 --pulses 32 --shade-gather window 2>&1 | tail -2
 timeout 4800 python -u bench.py --repeat 1 --pulses 32 2>&1 | tail -2
 echo R3G_DONE2
+echo "=== STAGE compact-narrow bench (late-segment tile narrowing) ==="
+timeout 6000 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 8 2>&1 | tail -2
+timeout 4800 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 16 2>&1 | tail -2
+echo "=== STAGE combined narrow + window gather ==="
+timeout 6000 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 8 --shade-gather window 2>&1 | tail -2
+echo R3G_DONE3
