@@ -97,15 +97,19 @@ def run(
     cluster_size: int = 256,
     interpret: bool = False,
     verbose: bool = False,
+    **trace_options,
 ) -> RunSummary:
     """Run the full simulation, mutating receiver response lists.
 
     The analogue of calling ``rs::RTS(world, MaxThreads, MaxBlocks)``;
     grid-shape knobs are replaced by the engine's ``tri_chunk`` tile size.
+    Extra keyword options pass through to :class:`TraceConfig` (e.g.
+    ``ray_tile``, ``shade_gather``, ``compact_narrow``).
     """
     cfg = TraceConfig.from_parameters(
         params, strict_parity=strict_parity, tri_chunk=tri_chunk,
         accel=accel, cluster_size=cluster_size, interpret=interpret,
+        **trace_options,
     )
     cspeed = params.c
     num_rx = len(world.receivers)

@@ -37,3 +37,5 @@ timeout 4800 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 16 2>&1 
 echo "=== STAGE combined narrow + window gather ==="
 timeout 6000 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 8 --shade-gather window 2>&1 | tail -2
 echo R3G_DONE3
+timeout 4800 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 4 2>&1 | tail -2
+echo R3G_DONE4
