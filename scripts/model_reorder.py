@@ -132,6 +132,14 @@ def gate_counts(ov, n_cand, sub_tiles, groups=(1, 2, 4)):
         vwin = np.pad(valid, ((0, 0), (0, pad))).reshape(t, 1, nwin, g).sum(axis=3)
         out[(g, True)] = float((union_gate * vwin).sum() * rs)  # pairs / cs
         out[(g, False)] = float(win.sum() * rs)
+        # HARDWARE cost: a gated window always evaluates its full g*cs
+        # columns (padding slots repeat the last candidate), plus count
+        # the scalar-serialised per-window fixed events (DMA waits are
+        # per-candidate-slot, branches/epilogues per gated sub-block)
+        gated_w = float(union_gate.sum())
+        out[(g, "hw")] = gated_w * g * rs
+        out[(g, "windows")] = float((np.ceil(n_cand / g)).sum())
+        out[(g, "gated_evals")] = gated_w
     return out
 
 
@@ -229,6 +237,13 @@ def main():
         fmt(base_counts[(1, True)], n_rays, args.cs, "per-cand floor (any order, G irrelevant)")
         for g in groups[1:]:
             fmt(base_counts[(g, True)], n_rays, args.cs, f"near-to-far G={g} union")
+        for g in groups[1:]:
+            hw = base_counts[(g, "hw")] * args.cs / n_rays
+            print(
+                f"  {'HW cols G=%d (padded windows)' % g:42s} {hw:9.0f} pairs/ray"
+                f"  ({base_counts[(g, 'windows')] / (n_rays / args.rt):.2f} win/tile,"
+                f" {base_counts[(g, 'gated_evals')] / (n_rays / args.rt):.1f} gated evals/tile)"
+            )
         for g in groups[1:]:
             fmt(mask_counts[(g, True)], n_rays, args.cs, f"mask-sorted G={g} union")
         for g in (4, 8):
