@@ -145,6 +145,7 @@ def build(args):
         sub_tiles=args.sub_tiles,
         mt_group=args.mt_group,
         mt_union=args.mt_union,
+        mt_tail=getattr(args, "mt_tail", False),
         cand_order=args.cand_order,
         p1_fanout=getattr(args, "p1_fanout", None),
         p1_super_k=getattr(args, "p1_super_k", None),
@@ -191,6 +192,11 @@ def main():
     ap.add_argument(
         "--mt-union", action=argparse.BooleanOptionalAction, default=True,
         help="one G*cs-wide union-gated MT per step (vs G-unrolled per-candidate windows)",
+    )
+    ap.add_argument(
+        "--mt-tail", action=argparse.BooleanOptionalAction, default=False,
+        help="half-width tail window: pad candidate lists to G/2 and evaluate "
+        "one G/2-wide window when the remainder fits (trims padded columns)",
     )
     ap.add_argument(
         "--cand-order", choices=("near", "mask"), default="near",

@@ -138,6 +138,10 @@ class TraceConfig:
     # G-unrolled loop with per-candidate cs-wide windows and bits (no
     # union waste, more branches) — measured slower, kept as an option.
     mt_union: bool = True
+    # Half-width tail window (with mt_union): pad candidate lists to
+    # G/2 and evaluate one G/2-wide window when the remainder fits —
+    # trims padded-duplicate columns (bit-identical; docs/PERF.md).
+    mt_tail: bool = False
     # Candidate-list order within a tile: "near" (near-to-far entry
     # distance) or "mask" (grouped by sub-block overlap bitmask so
     # G-window union gates stay tight; near-to-far within equal masks).

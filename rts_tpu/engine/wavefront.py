@@ -719,6 +719,7 @@ def trace_fan(
                 candidates=cfg.candidates,
                 mt_group=cfg.mt_group,
                 mt_union=cfg.mt_union,
+                mt_tail=cfg.mt_tail,
                 cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout,
                 p1_super_k=cfg.p1_super_k,

@@ -176,6 +176,9 @@ def _mt_kernel(
     #                  False: G-unrolled loop, each candidate evaluated in
     #                  its own cs-wide window with its own bits (no union
     #                  waste, more branches/epilogues)
+    mt_tail: bool,  # True (with mt_union): pad lists to g/2 and evaluate
+    #                 one half-width window when the remainder fits —
+    #                 trims the padded-duplicate columns of the last window
 ):
     o = o_ref[:]
     d = d_ref[:]
@@ -409,7 +412,17 @@ def _mt_kernel(
             # last valid candidate) must get real DMAs or their waits
             # deadlock the chip.
             g_ = mt_group
-            n_pad = ((n_cand + (g_ - 1)) // g_) * g_
+            # Mixed-width tail (mt_tail): pad to g/2 instead of g and
+            # evaluate one half-width window when the remainder fits —
+            # padded duplicate columns are pure vector-flop waste (HW
+            # cols 1520 vs 1192 union pairs/ray at the 63³ bench,
+            # docs/PERF.md), and a typical 9.4-candidate tile pays 16
+            # slots at g=8 where 12 suffice.  Bit-identical: padding
+            # slots repeat the last valid candidate (idempotent RMW,
+            # bits=0 adds nothing to the union gate).
+            half = g_ // 2 if (mt_tail and mt_union and g_ >= 2) else 0
+            unit = half if half else g_
+            n_pad = ((n_cand + (unit - 1)) // unit) * unit
             for b in range(nbuf):
 
                 @pl.when(b < n_pad)
@@ -425,35 +438,51 @@ def _mt_kernel(
 
             g = mt_group
 
+            def window(i, slot, m):
+                """Wait on, evaluate and refill one m-wide window at
+                candidate offset ``i`` / scratch slot ``slot``."""
+                ids = [cand_at(i + q) for q in range(m)]
+                for q in range(m):
+                    get_dma(ids[q], slot + q).wait()
+                if mt_union:
+                    # ONE m*cs-wide union-gated MT evaluation
+                    process(ids, slot, bits_list=[bits_at(i + q) for q in range(m)])
+                else:
+                    # m-unrolled: per-candidate windows/bits (no union waste)
+                    for q in range(m):
+                        process([ids[q]], slot + q, bits_list=[bits_at(i + q)])
+                for q in range(m):
+                    refill(i + q, slot + q)
+
             def cand_step(s, c2):
-                # s < ceil(n_cand/g) implies i < n_cand.  nbuf is a
+                # s < ceil(n_cand/g) implies i < n_pad.  nbuf is a
                 # multiple of g and i is a multiple of g, so the group's
                 # slots (slot .. slot+g-1) never wrap the circular
                 # scratch — one contiguous [16, g*cs] window.
                 #
-                # Every window is FULL: phase 1 pads each list to a
-                # multiple of g by repeating the last valid candidate
-                # with bits=0 (see _tile_candidates), so padding columns
-                # are duplicates of an already-processed candidate —
+                # Every window is FULL-width (g, or g/2 for the tail
+                # step under mt_tail): phase 1 pads each list slot >=
+                # count by repeating the last valid candidate with
+                # bits=0 (see _tile_candidates), so padding columns are
+                # duplicates of an already-processed candidate —
                 # union-gated identically (bits=0 adds nothing to the
                 # union; a duplicate's RMW is idempotent and the one-hot
-                # argmin keeps the first/nearer column).  No tail path:
-                # at g=16 a typical 63³ tile (~10 candidates) is ONE
-                # window instead of 10 single cs-wide evaluations.
+                # argmin keeps the first/nearer column).
                 i = g * s
                 slot = jax.lax.rem(i, jnp.int32(nbuf))
-                ids = [cand_at(i + q) for q in range(g)]
-                for q in range(g):
-                    get_dma(ids[q], slot + q).wait()
-                if mt_union:
-                    # ONE g*cs-wide union-gated MT evaluation
-                    process(ids, slot, bits_list=[bits_at(i + q) for q in range(g)])
+                if half:
+                    is_full = (i + g) <= n_pad
+
+                    @pl.when(is_full)
+                    def _():
+                        window(i, slot, g)
+
+                    @pl.when(~is_full)
+                    def _():
+                        window(i, slot, half)
+
                 else:
-                    # g-unrolled: per-candidate windows/bits (no union waste)
-                    for q in range(g):
-                        process([ids[q]], slot + q, bits_list=[bits_at(i + q)])
-                for q in range(g):
-                    refill(i + q, slot + q)
+                    window(i, slot, g)
                 return c2
 
             jax.lax.fori_loop(0, (n_cand + g - 1) // g, cand_step, jnp.int32(0))
@@ -764,7 +793,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "cand_order", "p1_fanout", "p1_super_k", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -783,6 +812,7 @@ def closest_hit_clustered(
     candidates: int = 64,  # per-tile candidate-list width; 0 = sweep-only
     mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8/16/32)
     mt_union: bool = True,  # False: G-unrolled loop, per-candidate windows
+    mt_tail: bool = False,  # half-width tail window (see _mt_kernel)
     cand_order: str = "near",  # "mask": group window-mates by sub-block bitmask
     p1_fanout: int | None = None,  # phase-1 clusters per supergroup (default _P1_FANOUT)
     p1_super_k: int | None = None,  # phase-1 admitted supergroups per tile (default _P1_SUPER_K)
@@ -902,7 +932,7 @@ def closest_hit_clustered(
     kernel = partial(
         _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
-        k_max=candidates, mt_group=mt_group, mt_union=mt_union,
+        k_max=candidates, mt_group=mt_group, mt_union=mt_union, mt_tail=mt_tail,
     )
 
     n_tiles = l_pad // rt

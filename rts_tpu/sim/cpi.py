@@ -65,6 +65,7 @@ _PREPARE_DEFAULTS = dict(
     sub_tiles=4,
     mt_group=2,
     mt_union=True,
+    mt_tail=False,
     cand_order="near",
     p1_fanout=None,
     p1_super_k=None,
@@ -309,6 +310,7 @@ def prepare_cpi(
         sub_tiles=sub_tiles,
         mt_group=opts["mt_group"],
         mt_union=opts["mt_union"],
+        mt_tail=opts["mt_tail"],
         cand_order=opts["cand_order"],
         p1_fanout=opts["p1_fanout"],
         p1_super_k=opts["p1_super_k"],

@@ -200,6 +200,19 @@ def test_candidate_modes_agree():
                 np.asarray(getattr(out_g, f)), np.asarray(getattr(outs[64], f)),
                 err_msg=f"{f} mt_group={g} union={un}",
             )
+    # half-width tail windows: padding to G/2 and evaluating a G/2-wide
+    # tail must be BIT-identical (padding slots are duplicates of the
+    # last valid candidate either way)
+    for g in (2, 4, 8, 16):
+        out_t = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, mt_group=g, mt_tail=True, interpret=True,
+        )
+        for f in ("found", "t", "tri", "beta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_t, f)), np.asarray(getattr(outs[64], f)),
+                err_msg=f"{f} mt_tail mt_group={g}",
+            )
     # mask-grouped candidate order: permuting the candidate list must not
     # change any hit (tie-breaks aside, absent in this random scene) —
     # asserted bit-exact here to catch plumbing bugs
