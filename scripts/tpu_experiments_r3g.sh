@@ -39,3 +39,8 @@ timeout 6000 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 8 --shad
 echo R3G_DONE3
 timeout 4800 python -u bench.py --repeat 1 --pulses 32 --compact-narrow 4 2>&1 | tail -2
 echo R3G_DONE4
+echo "=== STAGE mt-tail bench ==="
+timeout 6000 python -u bench.py --repeat 1 --pulses 32 --mt-tail 2>&1 | tail -2
+echo "=== STAGE full combo (tail + narrow + window) ==="
+timeout 6000 python -u bench.py --repeat 1 --pulses 32 --mt-tail --compact-narrow 8 --shade-gather window 2>&1 | tail -2
+echo R3G_DONE5
