@@ -149,6 +149,8 @@ def build(args):
         cand_order=args.cand_order,
         p1_fanout=getattr(args, "p1_fanout", None),
         p1_super_k=getattr(args, "p1_super_k", None),
+        p1_fanout0=getattr(args, "p1_fanout0", None),
+        p1_super_k0=getattr(args, "p1_super_k0", None),
         shade_gather=getattr(args, "shade_gather", "row"),
         compact_narrow=getattr(args, "compact_narrow", 0),
         fan_order=args.fan_order,
@@ -211,6 +213,15 @@ def main():
         "--p1-super-k", type=int, default=12,
         help="phase-1 admitted supergroups per tile; level-2 width = K*fanout "
         "slots (default 16; bench terrain admits ~6.2, max 11)",
+    )
+    ap.add_argument(
+        "--p1-fanout0", type=int, default=None,
+        help="phase-1 supergroups per level-0 run (default: module constant 8)",
+    )
+    ap.add_argument(
+        "--p1-super-k0", type=int, default=None,
+        help="phase-1 admitted level-0 runs per tile; level-1 re-test width "
+        "= K0*fanout0 slots (default 12; bench terrain admits ~2-4)",
     )
     ap.add_argument(
         "--shade-gather", choices=("row", "window"), default="row",

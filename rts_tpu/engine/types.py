@@ -152,6 +152,12 @@ class TraceConfig:
     # admitting more overflow to the kernel's full hierarchical sweep).
     p1_fanout: int | None = None
     p1_super_k: int | None = None
+    # Level-0 knobs (fire when supergroup count >= the module threshold):
+    # supergroups per level-0 run, and max admitted runs per tile — the
+    # level-1 re-test width is p1_super_k0 * p1_fanout0 box slots, so a
+    # tight K0 (terrain admits ~2-4 runs/tile) cuts wasted slab work.
+    p1_fanout0: int | None = None
+    p1_super_k0: int | None = None
     # Fan tile order: "raster" (reference launch order), "morton3"
     # (3-D Morton over iz/iy/ix) or "morton2" (2-D Morton over the two
     # direction-bearing axes iz/iy with the launch-range axis ix minor —

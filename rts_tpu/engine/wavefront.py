@@ -723,6 +723,8 @@ def trace_fan(
                 cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout,
                 p1_super_k=cfg.p1_super_k,
+                p1_fanout0=cfg.p1_fanout0,
+                p1_super_k0=cfg.p1_super_k0,
                 interpret=cfg.interpret,
             )
 

@@ -514,7 +514,8 @@ def _mt_kernel(
 
 
 def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max,
-                     cand_order="near", p1_fanout=None, p1_super_k=None):
+                     cand_order="near", p1_fanout=None, p1_super_k=None,
+                     p1_fanout0=None, p1_super_k0=None):
     """Phase 1: per-ray-tile candidate cluster lists (vectorised XLA).
 
     EXACT per-ray slab tests — the same predicate the kernel applies
@@ -632,7 +633,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         # level-0 box) keeps the final lists identical to the dense
         # build; tiles admitting more level-0 boxes than _P1_SUPER_K0
         # overflow to the kernel's full hierarchical sweep.
-        f0 = _P1_FANOUT0
+        f0 = p1_fanout0 or _P1_FANOUT0
         s0 = -(-s // f0)
         s_pad0 = s0 * f0
         if s_pad0 > s:
@@ -649,7 +650,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         z_mx = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mx)
         ov_z, _ = batch_slab(z_mn, z_mx)  # [l, S0]
         ov_z_t = jnp.any(ov_z.reshape(tiles, ray_tile, s0), axis=1)
-        k0 = min(_P1_SUPER_K0, s0)
+        k0 = min(p1_super_k0 or _P1_SUPER_K0, s0)
         z_count = jnp.sum(ov_z_t, axis=1).astype(jnp.int32)
         _, z_order = jax.lax.top_k(
             ov_z_t.astype(jnp.int32) * (s0 - jnp.arange(s0)), k0
@@ -793,7 +794,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3]
@@ -816,6 +817,8 @@ def closest_hit_clustered(
     cand_order: str = "near",  # "mask": group window-mates by sub-block bitmask
     p1_fanout: int | None = None,  # phase-1 clusters per supergroup (default _P1_FANOUT)
     p1_super_k: int | None = None,  # phase-1 admitted supergroups per tile (default _P1_SUPER_K)
+    p1_fanout0: int | None = None,  # phase-1 supergroups per level-0 run (default _P1_FANOUT0)
+    p1_super_k0: int | None = None,  # phase-1 admitted level-0 runs per tile (default _P1_SUPER_K0)
     interpret: bool = False,
     with_stats: bool = False,
 ) -> HitResult:
@@ -906,7 +909,7 @@ def closest_hit_clustered(
     if candidates > 0:
         cand, meta, bits = _tile_candidates(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
-            cand_order, p1_fanout, p1_super_k,
+            cand_order, p1_fanout, p1_super_k, p1_fanout0, p1_super_k0,
         )
         k_width = candidates
     else:

@@ -69,6 +69,8 @@ _PREPARE_DEFAULTS = dict(
     cand_order="near",
     p1_fanout=None,
     p1_super_k=None,
+    p1_fanout0=None,
+    p1_super_k0=None,
     shade_gather="row",
     shade_window_k=16,
     compact_narrow=0,
@@ -314,6 +316,8 @@ def prepare_cpi(
         cand_order=opts["cand_order"],
         p1_fanout=opts["p1_fanout"],
         p1_super_k=opts["p1_super_k"],
+        p1_fanout0=opts["p1_fanout0"],
+        p1_super_k0=opts["p1_super_k0"],
         shade_gather=opts["shade_gather"],
         shade_window_k=opts["shade_window_k"],
         compact_narrow=opts["compact_narrow"],

@@ -349,11 +349,25 @@ def test_p1_level0_identical(monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=nm)
     assert dense[1][:, 0].max() > 2  # non-trivial lists
 
+    # the per-call level-0 knobs must match the module constants they
+    # override (p1_fanout0/p1_super_k0 = the defaults -> identical lists)
+    kw0 = [np.asarray(a) for a in CT._tile_candidates(
+        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
+        p1_fanout0=CT._P1_FANOUT0, p1_super_k0=CT._P1_SUPER_K0)]
+    for a, b, nm in zip(kw0, lvl0, ("cand", "meta", "bits")):
+        np.testing.assert_array_equal(a, b, err_msg=f"kwargs {nm}")
+
     # tiny K0 forces level-0 overflow: flagged, never silently wrong
+    # (via the per-call knob and via the module constant)
+    overk = [np.asarray(a) for a in CT._tile_candidates(
+        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
+        p1_super_k0=1)]
+    assert overk[1][:, 1].any()
     monkeypatch.setattr(CT, "_P1_SUPER_K0", 1)
     over = [np.asarray(a) for a in CT._tile_candidates(
         o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
     assert over[1][:, 1].any()  # overflow flag set somewhere
+    np.testing.assert_array_equal(overk[1], over[1])
 
 
 @pytest.mark.parametrize("seed", [3, 17, 42])
