@@ -92,6 +92,25 @@ def test_sharded_window_shade_gather():
     _assert_identical(single, sharded)
 
 
+def test_sharded_compact_narrow():
+    """compact_narrow under shard_map: each device's lane block decides
+    its own narrow/full branch from its local live tiles, but both
+    branches are bit-identical to full width, so sharded must equal
+    single-chip.  num_rays=8 + ray_tile=64 gives each ray shard 4 full
+    tiles (narrow budget 2), and the small far plate kills most lanes
+    after segment 1 so the narrow branch actually fires."""
+    w = make_world(num_pulses=2)
+    params = Parameters(num_rays=8, max_refl_depth=2)
+    base, batch, cfg, spec = prepare_cpi(
+        w, params, dtype=jnp.float32, accel="cluster", cluster_size=64,
+        ray_tile=64, interpret=True, compact_narrow=2,
+    )
+    single = trace_cpi(base, batch, cfg, spec)
+    mesh = make_mesh(2, 2)
+    sharded = trace_cpi_sharded(base, shard_batch(batch, mesh), cfg, spec, mesh)
+    _assert_identical(single, sharded)
+
+
 def test_bad_divisibility_raises():
     w = make_world(num_pulses=3)
     params = Parameters(num_rays=2, max_refl_depth=1)
