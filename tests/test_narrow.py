@@ -96,6 +96,38 @@ class TestNarrowSegments:
         live_tiles = np.unique(np.nonzero(refl[: tiles_full * RT])[0] // RT)
         assert len(live_tiles) > nt  # sanity: this case exercises the fallback
 
+    def test_combo_features_bit_identical(self):
+        """narrow + mt_tail + window shading TOGETHER over a multi-pulse
+        CPI: the r3h hardware run saw exactly this combo lose one pulse's
+        receptions while every single feature was clean — if that were a
+        flag-interaction logic bug it must reproduce here; passing pins
+        the combo's semantics so the hardware deviation can only be a
+        backend/codegen issue (scripts/bisect_combo.py)."""
+        from rts_tpu.sim.cpi import prepare_cpi, trace_cpi
+        from test_driver import make_world
+
+        w = make_world(num_pulses=3, rotating=True, target_speed=50.0)
+        params = Parameters(num_rays=7, max_refl_depth=3)
+        kw = dict(
+            dtype=jnp.float32, accel="cluster", cluster_size=64,
+            ray_tile=64, mt_group=4, interpret=True,
+        )
+        b0, batch0, cfg0, spec0 = prepare_cpi(w, params, **kw)
+        ref = trace_cpi(b0, batch0, cfg0, spec0)
+        b1, batch1, cfg1, spec1 = prepare_cpi(
+            w, params, compact_narrow=2, mt_tail=True,
+            shade_gather="window", **kw,
+        )
+        combo = trace_cpi(b1, batch1, cfg1, spec1)
+        got = np.asarray(ref.received) >= 0
+        assert got.sum() > 0, "weak scene — no receptions"
+        for name in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(combo, name)),
+                err_msg=name,
+            )
+
     def test_narrow_with_refraction(self):
         """Dielectric slab: children spawn in segments 1-2; narrow
         segments start after and must skip the inert spawn machinery
