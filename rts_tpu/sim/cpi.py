@@ -123,6 +123,23 @@ def prepare_cpi(
     if unknown:
         raise TypeError(f"prepare_cpi() got unexpected options {sorted(unknown)}")
     opts.update(options)
+    if (
+        opts["compact_narrow"] > 1
+        and opts["shade_gather"] == "window"
+        and not opts["interpret"]
+    ):
+        # The r3j hardware bisect (docs/PERF.md) pinned a deterministic
+        # TPU-only miscompile to exactly this flag pair: pulse 0 of a
+        # lax.map CPI loses all receptions (semantics are proven
+        # bit-identical in interpret mode — tests/test_narrow.py).  The
+        # window gather is also a measured ~3% LOSS in situ, so there is
+        # no reason to combine them; refuse rather than silently corrupt.
+        raise ValueError(
+            "compact_narrow>1 with shade_gather='window' miscompiles on "
+            "TPU (deterministic lost receptions on the first pulse; see "
+            "docs/PERF.md 'r3j combo bisect'). Use shade_gather='row' "
+            "with compact_narrow, or interpret=True for CPU testing."
+        )
     strict_parity = opts["strict_parity"]
     tri_chunk = opts["tri_chunk"]
     pad_tris_to = opts["pad_tris_to"]
