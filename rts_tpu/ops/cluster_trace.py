@@ -86,6 +86,19 @@ import os as _os
 
 _SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
 
+# Kernel cost-model calibration switches (hardware experiments only;
+# both are value-identical to the default path — see docs/PERF.md r3k):
+# UNGATED skips the per-sub-block pl.when gate in candidate mode (every
+# window evaluates all sub-blocks: trades ~2% more VPU flops at the
+# production config for ~10 fewer scalar branches per tile — measures
+# whether the kernel is branch-event-bound or VPU-issue-bound).
+# THIN_VALID drops the redundant (t < RT_DEFAULT_MAX) test (a t >= MAX
+# winner still reports found=False downstream) and folds the two
+# barycentric sign tests through one minimum — 3 fewer full-width VPU
+# ops of ~50.
+_KERNEL_UNGATED = _os.environ.get("RTS_KERNEL_UNGATED", "0") == "1"
+_KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "0") == "1"
+
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:
     """Cluster-DMA pipeline depth: deep prefetch in candidate mode (hides
@@ -260,21 +273,8 @@ def _mt_kernel(
 
         for k in range(sub_tiles):
             rows = slice(k * rs, (k + 1) * rs)
-            if bits_list is None:
-                assert m == 1
-                sub_overlap = _slab_overlap(
-                    o[rows], d[rows], tmin[rows], t_out[rows, 0],
-                    mn_ref[c_list[0], :], mx_ref[c_list[0], :],
-                )
-                gate = jnp.any(sub_overlap)
-            else:
-                union = bits_list[0]
-                for b in bits_list[1:]:
-                    union = union | b
-                gate = ((union >> k) & 1) != 0
 
-            @pl.when(gate)
-            def _(rows=rows, k=k):
+            def _eval(rows=rows):
                 def sdot(a0, a1, a2, f):
                     return a0[rows] * f[0:1, :] + a1[rows] * f[1:2, :] + a2[rows] * f[2:3, :]
 
@@ -284,13 +284,24 @@ def _mt_kernel(
                 beta = (sdot(d0, d1, d2, c1_t) - sdot(m0, m1, m2, e1_t)) * inv
                 gamma = (sdot(d0, d1, d2, c0_t) - sdot(m0, m1, m2, e0_t)) * inv
 
-                valid = (
-                    (t < RT_DEFAULT_MAX)
-                    & (t > tmin[rows][:, None])
-                    & (beta >= 0.0)
-                    & (gamma >= 0.0)
-                    & (beta + gamma <= 1.0)
-                )
+                if _KERNEL_THIN_VALID:
+                    # (t < MAX) is redundant for the RMW: a winner with
+                    # t >= MAX still yields found = (best_t < MAX) =
+                    # False downstream, and NaNs compare false here just
+                    # as they failed (t < MAX) before.
+                    valid = (
+                        (t > tmin[rows][:, None])
+                        & (jnp.minimum(beta, gamma) >= 0.0)
+                        & (beta + gamma <= 1.0)
+                    )
+                else:
+                    valid = (
+                        (t < RT_DEFAULT_MAX)
+                        & (t > tmin[rows][:, None])
+                        & (beta >= 0.0)
+                        & (gamma >= 0.0)
+                        & (beta + gamma <= 1.0)
+                    )
                 t_m = jnp.where(valid, t, _BIG)
                 tj = jnp.min(t_m, axis=1)
                 # One-hot select of the winning column (first minimum) —
@@ -318,6 +329,23 @@ def _mt_kernel(
                 i_out[rows, 0] = jnp.where(better, tri, i_out[rows, 0])
                 b_out[rows, 0] = jnp.where(better, beta_j, b_out[rows, 0])
                 g_out[rows, 0] = jnp.where(better, gamma_j, g_out[rows, 0])
+
+            if bits_list is None:
+                assert m == 1
+                sub_overlap = _slab_overlap(
+                    o[rows], d[rows], tmin[rows], t_out[rows, 0],
+                    mn_ref[c_list[0], :], mx_ref[c_list[0], :],
+                )
+                pl.when(jnp.any(sub_overlap))(_eval)
+            elif _KERNEL_UNGATED:
+                # calibration: evaluate every sub-block unconditionally —
+                # value-identical (validity subsumes the overlap gate)
+                _eval()
+            else:
+                union = bits_list[0]
+                for b in bits_list[1:]:
+                    union = union | b
+                pl.when(((union >> k) & 1) != 0)(_eval)
 
     # Double-buffered pipeline: when cluster c's slab test passes, start
     # its DMA into slot cnt%2, then (with the copy in flight) process the
