@@ -106,11 +106,11 @@ class TestNarrowSegments:
         from rts_tpu.sim.cpi import prepare_cpi, trace_cpi
         from test_driver import make_world
 
-        w = make_world(num_pulses=3, rotating=True, target_speed=50.0)
-        params = Parameters(num_rays=7, max_refl_depth=3)
+        w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+        params = Parameters(num_rays=5, max_refl_depth=3)
         kw = dict(
             dtype=jnp.float32, accel="cluster", cluster_size=64,
-            ray_tile=64, mt_group=4, interpret=True,
+            ray_tile=32, mt_group=4, interpret=True,
         )
         b0, batch0, cfg0, spec0 = prepare_cpi(w, params, **kw)
         ref = trace_cpi(b0, batch0, cfg0, spec0)
