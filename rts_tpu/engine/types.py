@@ -187,7 +187,9 @@ class TraceConfig:
     # narrow block and scatter rows back — phase 1 and shading then pay
     # ~1/N of their static-shape cost on nearly-dead segments, and a
     # lax.cond keeps full width while too many tiles are alive
-    # (bit-identical either way).  0/1 = off.
+    # (bit-identical either way).  0/1 = off; -1 = AUTO (live-tile
+    # budget max(8, tiles//32), the measured sweet spot across fan
+    # sizes — docs/PERF.md r3k narrow sweep).
     compact_narrow: int = 0
     interpret: bool = False  # run the Pallas kernel in interpreter mode (CPU tests)
     # Extended-precision (double-single) path replay: after the f32 trace,

@@ -767,7 +767,9 @@ def trace_fan(
     # every supercluster, so late segments cost ~nothing.  The
     # permutation is undone before results are assembled.
     lane_perm = None
-    use_narrow = cfg.compact_narrow > 1 and cfg.accel == "cluster"
+    use_narrow = (
+        cfg.compact_narrow > 1 or cfg.compact_narrow == -1
+    ) and cfg.accel == "cluster"
     if (cfg.compact_lanes or use_narrow) and cfg.accel == "cluster":
         spawn_segments = min(cfg.num_segments, 2 if cfg.refraction_on else 1)
         for _ in range(spawn_segments):
@@ -808,7 +810,19 @@ def trace_fan(
             lanes_n = state.origin.shape[0]
             tiles_full = lanes_n // rt
             tail = lanes_n - tiles_full * rt
-            nt = -(-tiles_full // cfg.compact_narrow)
+            if cfg.compact_narrow == -1:
+                # AUTO: pick the live-tile budget from the tile count.
+                # The budget must stay ABOVE the live-tile count of the
+                # first post-spawn segments or the lax.cond falls back
+                # to full width: the r3k 63³ sweep measured N=24/32
+                # (budget 21/16) at 4.42/4.40e6 but N=48/64 (budget
+                # 11/8) at 3.77e6 — seg-3 live tiles sit in (11, 16].
+                # tiles//24 ≈ the measured-best 21-tile budget at 488
+                # tiles; the floor of 8 keeps small fans (31³: 58
+                # tiles) at their measured-best ~8-tile budget.
+                nt = max(8, tiles_full // 24)
+            else:
+                nt = -(-tiles_full // cfg.compact_narrow)
             if nt < tiles_full:
                 nl = nt * rt + tail
 

@@ -124,7 +124,7 @@ def prepare_cpi(
         raise TypeError(f"prepare_cpi() got unexpected options {sorted(unknown)}")
     opts.update(options)
     if (
-        opts["compact_narrow"] > 1
+        (opts["compact_narrow"] > 1 or opts["compact_narrow"] == -1)
         and opts["shade_gather"] == "window"
         and not opts["interpret"]
     ):

@@ -31,9 +31,9 @@ def monostatic_rx(radius=5.0):
     )
 
 
-def run_engine(scene, params, narrow):
+def run_engine(scene, params, narrow, rt=RT):
     cfg = TraceConfig.from_parameters(
-        params, accel="cluster", cluster_size=64, ray_tile=RT,
+        params, accel="cluster", cluster_size=64, ray_tile=rt,
         interpret=True, compact_narrow=narrow,
     )
     dev = scene_to_device(scene, dtype=jnp.float32)
@@ -95,6 +95,23 @@ class TestNarrowSegments:
         nt = -(-tiles_full // NARROW)
         live_tiles = np.unique(np.nonzero(refl[: tiles_full * RT])[0] // RT)
         assert len(live_tiles) > nt  # sanity: this case exercises the fallback
+
+    def test_auto_narrow_bit_identical(self):
+        """compact_narrow=-1 picks the live-tile budget from the tile
+        count (max(8, tiles//24)); rt=32 gives 22 full tiles so the
+        narrow branch provably fires (budget 8 < 22) on the collapsing
+        scene — results must stay bit-identical."""
+        mesh, _ = sphere_mesh(2, 7.0)
+        scene = compile_scene(
+            [mesh.translated([1000.0, 0.0, 0.0])], [0.9], [1.0], [np.array([40.0, 5.0, 0.0])]
+        )
+        params = Parameters(num_rays=9, max_refl_depth=2)
+        ref = run_engine(scene, params, 0, rt=32)
+        nar = run_engine(scene, params, -1, rt=32)
+        assert_bit_identical(ref, nar)
+        refl = np.asarray(ref.refl_depth) >= 1
+        live_tiles = np.unique(np.nonzero(refl[: (9**3 // 32) * 32])[0] // 32)
+        assert 1 <= len(live_tiles) <= 8, "scene no longer collapses for the auto budget"
 
     def test_combo_features_bit_identical(self):
         """narrow + mt_tail + window shading TOGETHER over a multi-pulse
