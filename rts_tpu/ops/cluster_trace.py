@@ -95,9 +95,15 @@ _SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
 # THIN_VALID drops the redundant (t < RT_DEFAULT_MAX) test (a t >= MAX
 # winner still reports found=False downstream) and folds the two
 # barycentric sign tests through one minimum — 3 fewer full-width VPU
-# ops of ~50.
+# ops of ~50.  Measured +3.3% end-to-end (4.40 -> 4.55e6 rays/s at the
+# 63³ narrow32 bench, received masks identical) and DEFAULT ON; the
+# r3k calibration also showed UNGATED at +1.2% alone but a LOSS on top
+# of THIN_VALID (its ~2% extra flops outweigh the freed branches once
+# ops are thinner), so gating stays.  Verdict: the candidate kernel is
+# VPU-instruction-issue bound — scalar events (branches, DMA waits)
+# are ~0.1 us, not the ~1 us the round-2 model assumed.
 _KERNEL_UNGATED = _os.environ.get("RTS_KERNEL_UNGATED", "0") == "1"
-_KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "0") == "1"
+_KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "1") == "1"
 
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:

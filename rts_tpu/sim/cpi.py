@@ -48,6 +48,11 @@ PRESETS = {
         # check_replay_overflow warns LOUDLY — raise it (or 0 = all)
         # for wide-beam close-range scenes
         replay_cap=256,
+        # tile-granular narrow late segments, AUTO live-tile budget
+        # (max(8, tiles//24)): bit-identical, lax.cond fallback while
+        # wide; the single biggest r3 bench win (2.87 -> 4.4e6 rays/s
+        # at a 63³ fan — docs/PERF.md r3j/r3k narrow sweep)
+        compact_narrow=-1,
     ),
     # exact-parity oracle configuration: dense f64 engine with the
     # reference's float32 narrowing points applied

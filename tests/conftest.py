@@ -20,5 +20,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: compiles dominate wall-clock on this box.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# SEPARATE dir from the TPU scripts' /tmp/jax_cache: a CPU suite running
+# concurrently with a TPU batch once died with SIGABRT inside
+# put_executable_and_time when both processes wrote one cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
