@@ -229,9 +229,10 @@ def main():
         "winner-cluster block gather + one-hot MXU extraction",
     )
     ap.add_argument(
-        "--compact-narrow", type=int, default=0,
-        help="late-segment narrow tile budget divisor (0 = off): gather "
-        "live ray tiles into a ceil(tiles/N)-tile block once they fit",
+        "--compact-narrow", type=int, default=-1,
+        help="late-segment narrow tile budget divisor (0 = off, -1 = auto "
+        "live-tile budget max(8, tiles//24) — the production default): "
+        "gather live ray tiles into a narrow block once they fit",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")
