@@ -156,6 +156,7 @@ def build(args):
         fan_order=args.fan_order,
         refine=args.refine,
         replay_cap=args.replay_cap,
+        agg_cap=getattr(args, "agg_cap", 4096),
     )
     return base, batch, cfg, spec, int(base.tri_verts.shape[0])
 
@@ -247,6 +248,12 @@ def main():
         help="compact received lanes and replay only this many (0 = all); "
         "the bench scenes receive ~31 lanes per pulse, and the overflow "
         "guard (sim.check_replay_overflow) makes a tight cap safe",
+    )
+    ap.add_argument(
+        "--agg-cap", type=int, default=4096,
+        help="aggregate a compacted received-lane block instead of the "
+        "full fan (exact: lax.cond falls back to full-lane aggregation "
+        "on overflow); 0 = full-lane aggregation",
     )
     ap.add_argument(
         "--cpi256",

@@ -82,7 +82,93 @@ def aggregate_lanes(
     carrier,
     ray_length_lo=None,  # [R] ds residual from the replay (engine/replay.py)
     num_targets: int = 0,  # static; enables the dense (sort-free) lowering
+    compact_cap: int = 0,  # gather received lanes to a cap block first
 ) -> LaneAggregate:
+    """See module docstring.  ``compact_cap`` > 0 aggregates a compacted
+    block of the received lanes (they are typically a few hundred of a
+    250k-lane fan, yet every pass below runs over all lanes — measured
+    2.6 ms/pulse at the 63³ production bench): received lanes are
+    gathered to the front of a cap-sized block (stable, like the replay
+    cap — the argsort CSEs with replay_refine's), aggregated there, and
+    scattered back onto the exact lane-space passthrough defaults the
+    full path produces for non-received lanes.  A lax.cond falls back to
+    the full-lane path when more than ``compact_cap`` lanes were
+    received, so results are always exact; within-group sums see the
+    same values in the same relative order either way (association may
+    differ at the f32 rounding level, as with any resharding)."""
+    received, refl_depth, refr_depth, path, power, ray_length, doppler = (
+        jnp.asarray(a) for a in
+        (received, refl_depth, refr_depth, path, power, ray_length, doppler)
+    )
+    if ray_length_lo is not None:
+        ray_length_lo = jnp.asarray(ray_length_lo)
+    r = received.shape[0]
+    valid = received >= 0
+    fdtype = power.dtype
+    cap = min(compact_cap, r) if compact_cap else 0
+    if cap and cap < r:
+        count = jnp.sum(valid.astype(jnp.int32))
+        order = jnp.argsort(received < 0)  # received first (stable; == replay's)
+        idx = order[:cap].astype(jnp.int32)
+
+        def gather(a):
+            return None if a is None else a[idx]
+
+        def capped(_):
+            core = _aggregate_core(
+                gather(received), gather(refl_depth), gather(refr_depth),
+                gather(path), gather(power), gather(ray_length),
+                gather(doppler), num_rx, cspeed, carrier,
+                gather(ray_length_lo), num_targets, lane=idx, r_total=r,
+            )
+            npath, pw, dl, ph, phl, dp, match = core
+            zero = jnp.zeros((r,), fdtype)
+            return (
+                zero.at[idx].set(npath),
+                power.at[idx].set(pw),
+                (ray_length / cspeed).at[idx].set(dl),
+                zero.at[idx].set(ph),
+                zero.at[idx].set(phl),
+                doppler.at[idx].set(dp),
+                jnp.full((r,), r + 1, jnp.int32).at[idx].set(match),
+            )
+
+        def full(_):
+            return _aggregate_core(
+                received, refl_depth, refr_depth, path, power, ray_length,
+                doppler, num_rx, cspeed, carrier, ray_length_lo, num_targets,
+                lane=jnp.arange(r, dtype=jnp.int32), r_total=r,
+            )
+
+        npath, pw, dl, ph, phl, dp, match = jax.lax.cond(count <= cap, capped, full, 0)
+    else:
+        npath, pw, dl, ph, phl, dp, match = _aggregate_core(
+            received, refl_depth, refr_depth, path, power, ray_length,
+            doppler, num_rx, cspeed, carrier, ray_length_lo, num_targets,
+            lane=jnp.arange(r, dtype=jnp.int32), r_total=r,
+        )
+
+    # ---- unique-path representatives (ray_tracer.cpp:1290-1304)
+    emit = (
+        jnp.zeros((r + 2,), bool)
+        .at[jnp.where(valid, match, r + 1)]
+        .set(True, mode="drop")[:r]
+    )
+    return LaneAggregate(
+        npath=npath, power=pw, delay=dl, phase=ph, doppler=dp,
+        path_match=match, emit=emit, phase_lo=phl,
+    )
+
+
+def _aggregate_core(
+    received, refl_depth, refr_depth, path, power, ray_length, doppler,
+    num_rx, cspeed, carrier, ray_length_lo, num_targets,
+    *, lane, r_total,
+):
+    """Aggregation over one lane block.  ``lane`` carries the ORIGINAL
+    lane ids (== arange when the block is the full fan); ``r_total`` sets
+    the invalid-lane sentinel (r_total + 1) so path_match/emit semantics
+    are block-independent.  Returns the lane-space value tuple."""
     r = received.shape[0]
     d = path.shape[1]
     fdtype = power.dtype
@@ -113,21 +199,20 @@ def aggregate_lanes(
         phase = -jnp.mod(delay * two_pi * carrier, two_pi)  # aggregation.cu:60
     volt = jnp.sqrt(power)
 
-    if fdtype == jnp.float32 and r + 1 >= (1 << 24):
+    if fdtype == jnp.float32 and r_total + 1 >= (1 << 24):
         # lane ids / group counts round-trip through f32 contractions,
         # exact only below 2^24 — shard the fan (rts_tpu.parallel) or
         # trace in float64 past that.
         raise ValueError(
-            f"aggregate_lanes: {r} lanes exceeds the exact-int range of the "
-            "float32 one-hot reductions (2^24); shard the fan or use float64"
+            f"aggregate_lanes: {r_total} lanes exceeds the exact-int range of "
+            "the float32 one-hot reductions (2^24); shard the fan or use float64"
         )
-    lane = jnp.arange(r, dtype=jnp.int32)
     rx_key = jnp.where(valid, received, num_rx).astype(jnp.int32)
     vals = [w, volt * w, delay * w, phase * w, doppler * w]
     if phase_lo is not None:
         vals.append(phase_lo * w)
     vals = jnp.stack(vals, axis=1)  # [R, M]
-    lane_or_big = jnp.where(valid, lane, r + 1).astype(fdtype)
+    lane_or_big = jnp.where(valid, lane, r_total + 1).astype(fdtype)
 
     radix = num_targets + 1
     n_bins = num_rx * radix**d + 1 if num_targets > 0 else _DENSE_BIN_CAP + 1
@@ -156,16 +241,18 @@ def aggregate_lanes(
         grp_phase_lo = lane_sums[:, 5] if phase_lo is not None else None
         # min matching lane per bin (lane ids are exact in f32 up to 2^24)
         seg_min = jnp.min(
-            jnp.where(oh > 0, lane_or_big[:, None], jnp.asarray(r + 1, fdtype)), axis=0
+            jnp.where(oh > 0, lane_or_big[:, None], jnp.asarray(r_total + 1, fdtype)), axis=0
         )
         grp_min = _mm(oh, seg_min).astype(jnp.int32)
     else:
         # ---- SORT fallback: lexicographic sort by (rx, path row);
         # invalid lanes sort last
         keys = [rx_key] + [path[:, k] for k in range(d)]
-        sorted_ops = jax.lax.sort(tuple(keys) + (lane,), num_keys=d + 1)
-        perm = sorted_ops[-1]
-        s_keys = sorted_ops[:-1]
+        local = jnp.arange(r, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(tuple(keys) + (local, lane), num_keys=d + 1)
+        perm = sorted_ops[-2]  # block-local permutation
+        s_lane = sorted_ops[-1]  # ORIGINAL lane ids, sorted alongside
+        s_keys = sorted_ops[:-2]
 
         def diff(a):
             return a[1:] != a[:-1]
@@ -184,7 +271,7 @@ def aggregate_lanes(
             axis=1,
         )
         g_min = jax.ops.segment_min(
-            jnp.where(valid[perm], perm, r + 1), seg, num_segments=r
+            jnp.where(valid[perm], s_lane, r_total + 1), seg, num_segments=r
         )
 
         # back to lane order
@@ -207,7 +294,7 @@ def aggregate_lanes(
     rx_sums = _mm(oh_rx.T, vals)  # [n_seg, M]
     rx_lane = _mm(oh_rx, rx_sums)  # [R, M]
     rx_min_seg = jnp.min(
-        jnp.where(oh_rx > 0, lane_or_big[:, None], jnp.asarray(r + 1, fdtype)), axis=0
+        jnp.where(oh_rx > 0, lane_or_big[:, None], jnp.asarray(r_total + 1, fdtype)), axis=0
     )
     rx_min_lane = _mm(oh_rx, rx_min_seg).astype(jnp.int32)
 
@@ -218,7 +305,7 @@ def aggregate_lanes(
     p_sum = jnp.where(direct, rx_lane[:, 3], grp_phase)
     f_sum = jnp.where(direct, rx_lane[:, 4], grp_dopp)
     match = jnp.where(direct, rx_min_lane, grp_min)
-    match = jnp.where(valid, match, r + 1)
+    match = jnp.where(valid, match, r_total + 1)
 
     # npath == 0 is possible only for invalid (never-emitted) lanes —
     # every valid lane contributes w=1 to its own group — so the
@@ -240,20 +327,4 @@ def aggregate_lanes(
         agg_phase = jnp.where(nz, p_sum / safe_n, p_sum)
         agg_phase_lo = jnp.zeros_like(agg_phase)
 
-    # ---- unique-path representatives (ray_tracer.cpp:1290-1304)
-    emit = (
-        jnp.zeros((r + 2,), bool)
-        .at[jnp.where(valid, match, r + 1)]
-        .set(True, mode="drop")[:r]
-    )
-
-    return LaneAggregate(
-        npath=npath,
-        power=agg_power,
-        delay=agg_delay,
-        phase=agg_phase,
-        doppler=agg_dopp,
-        path_match=match,
-        emit=emit,
-        phase_lo=agg_phase_lo,
-    )
+    return npath, agg_power, agg_delay, agg_phase, agg_phase_lo, agg_dopp, match

@@ -128,6 +128,7 @@ def make_pulse_fn(
             carrier=carrier,
             ray_length_lo=res.ray_length_lo if cfg.refine else None,
             num_targets=int(base.target_refl.shape[0]),
+            compact_cap=cfg.agg_cap,
         )
         return CpiResult(power=power, doppler=doppler, delay=delay, received=res.received, agg=agg)
 

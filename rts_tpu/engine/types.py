@@ -202,6 +202,13 @@ class TraceConfig:
     # replay only an N-row block (received counts are typically a few
     # hundred of ~1e5 lanes; overflowing lanes keep their f32 values).
     replay_cap: int = 0
+    # Aggregation compaction: aggregate a gathered block of the received
+    # lanes instead of running every [lanes, bins] pass over the full fan
+    # (aggregate/paths.py compact_cap; measured 2.6 ms/pulse at the 63³
+    # production bench).  Unlike replay_cap, overflow does NOT degrade
+    # anything: a lax.cond falls back to the full-lane path when more
+    # than agg_cap lanes were received.  0 disables.
+    agg_cap: int = 4096
 
     @classmethod
     def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":

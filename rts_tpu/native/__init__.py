@@ -40,6 +40,9 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("RTS_NO_NATIVE"):
+            # Diagnostics/bisection: force the pure-NumPy fallbacks.
+            return None
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             if not _build():
                 return None

@@ -73,6 +73,16 @@ _P1_FANOUT0 = 8
 _P1_SUPER_K0 = 12
 _P1_L0_MIN_S = 192
 
+# Experiment knob (scripts/profile_p1sel.py): bit 0 = int-bitcast top_k
+# key in the final candidate selection (order-identical to the f32 key:
+# non-negative f32 bit patterns sort like values, ties keep index order
+# in both), bit 1 = lax.optimization_barrier on the [tiles, st, kf]
+# partials.  Measured (r3o, 63³ production config): the barrier saves
+# 0.64 ms/pulse-segment — WITHOUT it the top_k/sort fusion boundary
+# duplicates the [tiles, rt, kf] l2 slab chain into several consumer
+# fusions; the int key is a small loss (7.29 vs 6.96).  Default = 2.
+_P1_SEL_MODE = 2
+
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
 # tiles than fit are chunked into independent pallas_calls (measured
@@ -729,6 +739,8 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     kf = ks * fanout
     ov_sb = jnp.any(ov_c.reshape(tiles, sub_tiles, rs, kf), axis=2)  # [tiles, st, kf]
     tnear_sb = jnp.min(tnear_c.reshape(tiles, sub_tiles, rs, kf), axis=2)
+    if _P1_SEL_MODE & 2:
+        ov_sb, tnear_sb = jax.lax.optimization_barrier((ov_sb, tnear_sb))
     ov_ct = jnp.any(ov_sb, axis=1)  # [tiles, ks*fanout] (slots are distinct
     # clusters: top_k indices are unique positions, padding slots are
     # sentinel boxes that never overlap)
@@ -740,8 +752,15 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     k_eff = min(k_max, ks * fanout)
     # top_k of -tnear = the k_eff nearest overlapping clusters, ascending —
     # a partial selection, much cheaper than a full bitonic sort
-    tkey = jnp.where(ov_ct, tnear_t, jnp.float32(jnp.inf))
-    _, sel = jax.lax.top_k(-tkey, k_eff)
+    if _P1_SEL_MODE & 1:
+        # order-identical int key: tnear_t >= 0 (or +inf), so its bit
+        # pattern sorts like the value; invalid slots key 0 < any valid
+        tb = jax.lax.bitcast_convert_type(tnear_t, jnp.int32)
+        ikey = jnp.where(ov_ct, jnp.int32(2**31 - 1) - tb, jnp.int32(0))
+        _, sel = jax.lax.top_k(ikey, k_eff)
+    else:
+        tkey = jnp.where(ov_ct, tnear_t, jnp.float32(jnp.inf))
+        _, sel = jax.lax.top_k(-tkey, k_eff)
     # (member indices are < s*fanout = c_pad1 by construction: top_k
     # returns positions < s, so no clamp is needed)
     order = jnp.take_along_axis(members, sel, axis=1).astype(jnp.int32)

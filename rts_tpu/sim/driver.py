@@ -207,6 +207,7 @@ def run(
                 cspeed=cspeed,
                 carrier=carrier,
                 num_targets=len(world.targets),
+                compact_cap=cfg.agg_cap,
             )
             trace_s = _time.perf_counter() - t0
 

@@ -23,5 +23,9 @@ jax.config.update("jax_enable_x64", True)
 # SEPARATE dir from the TPU scripts' /tmp/jax_cache: a CPU suite running
 # concurrently with a TPU batch once died with SIGABRT inside
 # put_executable_and_time when both processes wrote one cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# RTS_TEST_NO_CACHE=1 disables the cache entirely — the full suite has
+# crashed (SIGSEGV/SIGABRT) inside put_executable_and_time at the same
+# test in several runs; the kill switch isolates the cache writes.
+if not os.environ.get("RTS_TEST_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -157,3 +157,43 @@ def test_dense_path_matches_sort_and_oracle():
         np.testing.assert_allclose(np.asarray(dense.power)[lanes_of], o.power, rtol=1e-12)
         np.testing.assert_allclose(np.asarray(dense.delay)[lanes_of], o.delay, rtol=1e-12)
         np.testing.assert_allclose(np.asarray(dense.doppler)[lanes_of], o.doppler, rtol=1e-12)
+
+
+def test_compact_cap_matches_full():
+    """compact_cap gathers the received lanes to a cap block, aggregates
+    there and scatters back (aggregate/paths.py); must match the full-lane
+    path on both lowerings, and the overflow lax.cond must fall back to
+    the full path.  Discrete fields are exact; float sums may differ at
+    the rounding level (different reduction association)."""
+    rng = np.random.default_rng(11)
+    r = 4096
+    received = np.where(rng.random(r) < 0.02, rng.integers(0, 2, r), -1).astype(np.int32)
+    refl = rng.integers(0, 3, r).astype(np.int32)
+    refr = np.zeros(r, np.int32)
+    path = np.where(rng.random((r, 3)) < 0.7, rng.integers(0, 3, (r, 3)), -1).astype(np.int32)
+    power = rng.random(r)
+    ray_length = rng.random(r) * 1e4
+    doppler = rng.standard_normal(r)
+    args = (
+        jnp.asarray(received, jnp.int32), jnp.asarray(refl, jnp.int32),
+        jnp.asarray(refr, jnp.int32), jnp.asarray(path, jnp.int32),
+        jnp.asarray(power), jnp.asarray(ray_length), jnp.asarray(doppler),
+    )
+    for nt in (3, 0):  # dense and sort lowering
+        kw = dict(num_rx=2, cspeed=C, carrier=CARRIER, num_targets=nt)
+        full = aggregate_lanes(*args, **kw)
+        capped = aggregate_lanes(*args, **kw, compact_cap=512)
+        over = aggregate_lanes(*args, **kw, compact_cap=8)  # count > cap
+        for variant, lbl in ((capped, "capped"), (over, "overflow")):
+            for name in ("power", "delay", "phase", "doppler"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(full, name)),
+                    np.asarray(getattr(variant, name)),
+                    rtol=1e-9, atol=1e-10, err_msg=f"nt={nt} {lbl} {name}",
+                )
+            for name in ("npath", "path_match", "emit"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(full, name)),
+                    np.asarray(getattr(variant, name)),
+                    err_msg=f"nt={nt} {lbl} {name}",
+                )
