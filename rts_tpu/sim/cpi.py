@@ -79,6 +79,7 @@ _PREPARE_DEFAULTS = dict(
     shade_gather="row",
     shade_window_k=16,
     compact_narrow=0,
+    agg_cap=4096,
     fan_order="raster",
     interpret=False,
     refine=False,
@@ -110,7 +111,8 @@ def prepare_cpi(
     ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
     fan_order="raster", interpret=False, refine=False, replay_cap=0,
     rx_geom_on_device=False, shade_gather="row", shade_window_k=16,
-    compact_narrow=0`` (``shade_gather="window"`` = winner-cluster block
+    compact_narrow=0, agg_cap=4096`` (``shade_gather="window"`` =
+    winner-cluster block
     gather + one-hot MXU extraction for hit shading,
     engine/shade_gather.py; ``compact_narrow=N`` = gather live ray tiles
     of nearly-dead late segments into a ceil(tiles/N)-tile block).
@@ -343,6 +345,7 @@ def prepare_cpi(
         shade_gather=opts["shade_gather"],
         shade_window_k=opts["shade_window_k"],
         compact_narrow=opts["compact_narrow"],
+        agg_cap=opts["agg_cap"],
         fan_order=fan_order,
         interpret=interpret,
         refine=refine,
