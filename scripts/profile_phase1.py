@@ -39,6 +39,7 @@ bargs = argparse.Namespace(
     scene="terrain", accel="cluster", cluster_size=args.cluster_size,
     ray_tile=args.ray_tile, candidates=args.candidates, sub_tiles=args.sub_tiles,
     mt_group=4, mt_union=True, cand_order="near",
+    p1_fanout=8, p1_super_k=12, p1_fanout0=None, p1_super_k0=None,
     fan_order="raster", refine=False, replay_cap=16384,
     tiny=False, cpi256=False, stats=False,
 )
