@@ -114,6 +114,16 @@ _SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
 # are ~0.1 us, not the ~1 us the round-2 model assumed.
 _KERNEL_UNGATED = _os.environ.get("RTS_KERNEL_UNGATED", "0") == "1"
 _KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "1") == "1"
+# FLOOR is a bisect mask for the ~6 us/tile dead-input kernel floor
+# (docs/PERF.md r3m: scales with rows, ~12 ns/ray, NOT per-grid-step).
+# Each bit DELETES a kernel stage — output values become garbage, so
+# this is timing-only (scripts/profile_kfloor.py):
+#   bit 0: replace the hoisted per-tile component math (o/d slices +
+#          d x o cross) with vreg constants
+#   bit 1: skip the t/i/b/g output init fills
+#   bit 2: skip the stats_out tail write
+#   bit 3: skip the candidate/sweep dispatch entirely (loops + drain)
+_KERNEL_FLOOR = int(_os.environ.get("RTS_KERNEL_FLOOR", "0"))
 
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:
@@ -212,22 +222,28 @@ def _mt_kernel(
     o = o_ref[:]
     d = d_ref[:]
     tmin = tmin_ref[:, 0]
-    # Component columns [RT, 1]: K=3 contractions are VPU work, and
-    # jnp.cross/stack concatenates don't lower on Mosaic — expand manually.
-    o0, o1, o2 = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    d0, d1, d2 = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    # m = d x o (the (d x o) term of the MT identity)
-    m0 = d1 * o2 - d2 * o1
-    m1 = d2 * o0 - d0 * o2
-    m2 = d0 * o1 - d1 * o0
+    if _KERNEL_FLOOR & 1:
+        # floor bisect: vreg-constant stand-ins (values are garbage)
+        z1 = jnp.zeros((o.shape[0], 1), o.dtype)
+        o0 = o1 = o2 = d0 = d1 = d2 = m0 = m1 = m2 = z1
+    else:
+        # Component columns [RT, 1]: K=3 contractions are VPU work, and
+        # jnp.cross/stack concatenates don't lower on Mosaic — expand manually.
+        o0, o1, o2 = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        d0, d1, d2 = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+        # m = d x o (the (d x o) term of the MT identity)
+        m0 = d1 * o2 - d2 * o1
+        m1 = d2 * o0 - d0 * o2
+        m2 = d0 * o1 - d1 * o0
 
     def dot3(a0, a1, a2, f):  # [RT,1] components @ [3,CS] field -> [RT,CS]
         return a0 * f[0:1, :] + a1 * f[1:2, :] + a2 * f[2:3, :]
 
-    t_out[:] = jnp.full_like(t_out, _BIG)
-    i_out[:] = jnp.zeros_like(i_out)
-    b_out[:] = jnp.zeros_like(b_out)
-    g_out[:] = jnp.zeros_like(g_out)
+    if not (_KERNEL_FLOOR & 2):
+        t_out[:] = jnp.full_like(t_out, _BIG)
+        i_out[:] = jnp.zeros_like(i_out)
+        b_out[:] = jnp.zeros_like(b_out)
+        g_out[:] = jnp.zeros_like(g_out)
     counters[0] = jnp.int32(0)
     counters[1] = jnp.int32(0)
 
@@ -532,29 +548,37 @@ def _mt_kernel(
             jax.lax.fori_loop(0, (n_cand + g - 1) // g, cand_step, jnp.int32(0))
             return cr
 
-        pending, cp_id, cnt = jax.lax.cond(
-            meta_ref[tile // 64, (tile % 64) * 2 + 1] != 0,
-            lambda cr: jax.lax.fori_loop(0, n_super, super_body, cr),
-            cand_path,
-            init,
-        )
+        if _KERNEL_FLOOR & 8:
+            pending, cp_id, cnt = init
+        else:
+            pending, cp_id, cnt = jax.lax.cond(
+                meta_ref[tile // 64, (tile % 64) * 2 + 1] != 0,
+                lambda cr: jax.lax.fori_loop(0, n_super, super_body, cr),
+                cand_path,
+                init,
+            )
+    elif _KERNEL_FLOOR & 8:
+        pending, cp_id, cnt = init
     else:
         pending, cp_id, cnt = jax.lax.fori_loop(0, n_super, super_body, init)
 
     # drain the last in-flight cluster
-    @pl.when(pending == 1)
-    def _():
-        last = jnp.int32(1) - jax.lax.rem(cnt, jnp.int32(2))
-        get_dma(cp_id, last).wait()
-        process([cp_id], last)
+    if not (_KERNEL_FLOOR & 8):
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    stats_out[:] = jnp.where(
-        (row == 0) & (lane == 0),
-        counters[0],
-        jnp.where((row == 0) & (lane == 1), counters[1], 0),
-    )
+        @pl.when(pending == 1)
+        def _():
+            last = jnp.int32(1) - jax.lax.rem(cnt, jnp.int32(2))
+            get_dma(cp_id, last).wait()
+            process([cp_id], last)
+
+    if not (_KERNEL_FLOOR & 4):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        stats_out[:] = jnp.where(
+            (row == 0) & (lane == 0),
+            counters[0],
+            jnp.where((row == 0) & (lane == 1), counters[1], 0),
+        )
 
 
 def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max,

@@ -32,6 +32,7 @@ bargs = argparse.Namespace(
     scene="terrain", accel="cluster", cluster_size=128,
     ray_tile=512, candidates=64, sub_tiles=8,
     mt_group=8, mt_union=True, cand_order="near",
+    p1_fanout=8, p1_super_k=12, p1_fanout0=None, p1_super_k0=None,
     fan_order="raster", refine=False, replay_cap=16384,
     tiny=False, cpi256=False, stats=False,
 )
