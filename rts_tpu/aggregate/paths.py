@@ -73,7 +73,7 @@ def aggregate_lanes(
     received: jnp.ndarray,  # [R] int32, -1 = not received
     refl_depth: jnp.ndarray,  # [R] int32
     refr_depth: jnp.ndarray,  # [R] int32
-    path: jnp.ndarray,  # [R, D] int32
+    path: jnp.ndarray,  # [D, R] int32 (lanes-last engine layout)
     power: jnp.ndarray,  # [R] post-processed power
     ray_length: jnp.ndarray,  # [R]
     doppler: jnp.ndarray,  # [R] post-processed Doppler frequency
@@ -112,7 +112,8 @@ def aggregate_lanes(
         idx = order[:cap].astype(jnp.int32)
 
         def gather(a):
-            return None if a is None else a[idx]
+            # lanes are the LAST axis of every leaf (path is [D, R])
+            return None if a is None else a[..., idx]
 
         def capped(_):
             core = _aggregate_core(
@@ -170,7 +171,7 @@ def _aggregate_core(
     the invalid-lane sentinel (r_total + 1) so path_match/emit semantics
     are block-independent.  Returns the lane-space value tuple."""
     r = received.shape[0]
-    d = path.shape[1]
+    d = path.shape[0]
     fdtype = power.dtype
 
     valid = received >= 0
@@ -228,7 +229,7 @@ def _aggregate_core(
         # target NT-1 here where the sort path would keep it distinct
         pk = jnp.clip(path, -1, num_targets - 1) + 1
         for k in range(d):
-            gid = gid * radix + pk[:, k]
+            gid = gid * radix + pk[k]
         gid = jnp.where(valid, gid, n_bins - 1).astype(jnp.int32)
         oh = (gid[:, None] == jnp.arange(n_bins, dtype=jnp.int32)[None, :]).astype(fdtype)
         seg_sums = _mm(oh.T, vals)  # [n_bins, M]  (w = 0 already zeroes invalid lanes)
@@ -247,7 +248,7 @@ def _aggregate_core(
     else:
         # ---- SORT fallback: lexicographic sort by (rx, path row);
         # invalid lanes sort last
-        keys = [rx_key] + [path[:, k] for k in range(d)]
+        keys = [rx_key] + [path[k] for k in range(d)]
         local = jnp.arange(r, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(tuple(keys) + (local, lane), num_keys=d + 1)
         perm = sorted_ops[-2]  # block-local permutation

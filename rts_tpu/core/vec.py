@@ -38,6 +38,42 @@ def normalize3(a):
     return a / length3(a)[..., None]
 
 
+# --- components-major ("lanes-last") variants -------------------------------
+# The TPU engine stores batched vectors as [3, L] (components on the
+# LEADING axis): XLA:TPU tiles the two minor dims to (8, 128), so a
+# [L, 3] array pads its lane dim 3 -> 128 and every materialisation
+# (loop carries, fusion boundaries, kernel operands) moves ~42x the
+# logical bytes.  [3, L] pads only 3 -> 8 sublanes.  Measured: the
+# whole-kernel-deleted Pallas floor and the ~6 ms/segment hit-body block
+# were both this padding (docs/PERF.md r3q).  The [..., 3] helpers above
+# stay for the oracle / host-side NumPy code.
+
+
+def dot3c(a, b):
+    """Dot product over the LEADING component axis ([3, ...] layout)."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def length3c(a):
+    return jnp.sqrt(dot3c(a, a))
+
+
+def normalize3c(a):
+    """Unit vector over the leading component axis (exact norm, no eps)."""
+    return a / length3c(a)[None]
+
+
+def cross3c(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        axis=0,
+    )
+
+
 def sph_to_cart(azi, ele):
     """Spherical (azimuth, elevation) to unit Cartesian (ray_tracer.cu:132-139).
 

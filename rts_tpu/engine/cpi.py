@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from rts_tpu.aggregate import LaneAggregate, aggregate_lanes
 from rts_tpu.engine.animate import SceneBase, animate_packed, animate_scene
-from rts_tpu.engine.fan import generate_fan
+from rts_tpu.engine.fan import generate_fan_c
 from rts_tpu.engine.types import RxGeomDevice, TraceConfig
 from rts_tpu.engine.wavefront import trace_fan
 from rts_tpu.physics.postprocess import postprocess
@@ -81,14 +81,14 @@ def make_pulse_fn(
             scene = animate_packed(base, rot, pos, vel, cfg.cluster_size)
         else:
             scene = animate_scene(base, rot, pos, vel)
-        fan = generate_fan(cfg.num_rays, (tx_dir[0], tx_dir[1]), tx_span, dtype=dtype)
+        fan = generate_fan_c(cfg.num_rays, (tx_dir[0], tx_dir[1]), tx_span, dtype=dtype)
         block = cfg.rays_per_fan
         offset = jnp.int32(0)
         if fan_slice is not None:
             n_shards, index = fan_slice
             block = cfg.rays_per_fan // n_shards
             offset = (index() * block).astype(jnp.int32)
-            fan = jax.lax.dynamic_slice_in_dim(fan, offset, block, axis=0)
+            fan = jax.lax.dynamic_slice_in_dim(fan, offset, block, axis=1)
         res = trace_fan(scene, rx_geom, tx_origin, fan, cfg)
         if cfg.refine:
             from rts_tpu.engine.replay import replay_refine

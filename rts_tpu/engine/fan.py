@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rts_tpu.core.rotation import rot_axis_reversed, rot_z
-from rts_tpu.core.vec import normalize3, sph_to_cart
+from rts_tpu.core.vec import normalize3, normalize3c, sph_to_cart
 
 
 def _spread3(v):
@@ -75,20 +75,23 @@ def fan_tile_perm(num_rays: int, mode: str = "morton3") -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
-def generate_fan(num_rays: int, tx_dir, tx_span, dtype=jnp.float32):
-    """Primary ray directions [N^3, 3].
+def generate_fan_c(num_rays: int, tx_dir, tx_span, dtype=jnp.float32):
+    """Primary ray directions [3, N^3] (components-major).
 
     ``tx_dir`` = (azimuth, elevation) boresight; ``tx_span`` = (azimuth
     span, elevation span, launch range).  The returned directions are the
     double3-analogue the tracer propagates (unnormalised after the
-    elevation rotation, matching ray_tracer.cu:203).
+    elevation rotation, matching ray_tracer.cu:203).  Components-major is
+    the engine's lane layout (core/vec.py dot3c rationale); the rotations
+    are applied as explicit component contractions so the arithmetic per
+    ray is order-fixed.
     """
     az = jnp.asarray(tx_dir[0], dtype)
     el = jnp.asarray(tx_dir[1], dtype)
     n = num_rays
 
     if n == 1:
-        return sph_to_cart(az, el)[None, :]
+        return sph_to_cart(az, el)[:, None]
 
     az_span = jnp.asarray(tx_span[0], dtype)
     el_span = jnp.asarray(tx_span[1], dtype)
@@ -104,12 +107,28 @@ def generate_fan(num_rays: int, tx_dir, tx_span, dtype=jnp.float32):
 
     d = jnp.stack(
         jnp.broadcast_arrays(dx[None, None, :], dy[None, :, None], dz[:, None, None]),
-        axis=-1,
-    ).reshape(-1, 3)
-    d = normalize3(d)
+        axis=0,
+    ).reshape(3, -1)
+    d = normalize3c(d)
+
+    def rot_c(m, v):  # [3,3] @ [3, L] as explicit component FMAs
+        return jnp.stack(
+            [
+                m[0, 0] * v[0] + m[0, 1] * v[1] + m[0, 2] * v[2],
+                m[1, 0] * v[0] + m[1, 1] * v[1] + m[1, 2] * v[2],
+                m[2, 0] * v[0] + m[2, 1] * v[1] + m[2, 2] * v[2],
+            ],
+            axis=0,
+        )
 
     rz = rot_z(az, xp=jnp)
-    d = normalize3(d @ rz.T)
+    d = normalize3c(rot_c(rz, d))
     orth = normalize3(rz[:, 1])
     r1 = rot_axis_reversed(orth, el, xp=jnp)
-    return d @ r1.T  # not renormalised (ray_tracer.cu:203)
+    return rot_c(r1, d)  # not renormalised (ray_tracer.cu:203)
+
+
+def generate_fan(num_rays: int, tx_dir, tx_span, dtype=jnp.float32):
+    """Primary ray directions [N^3, 3] (row layout — host/profiler API;
+    the engine itself consumes ``generate_fan_c``)."""
+    return generate_fan_c(num_rays, tx_dir, tx_span, dtype).T

@@ -231,7 +231,7 @@ def replay_refine(
 
         order = jnp.argsort(res.received < 0)  # received lanes first
         idx = order[:cap]
-        sub = jax.tree.map(lambda a: a[idx], res)
+        sub = jax.tree.map(lambda a: a[..., idx], res)  # lanes-last leaves
         out = _replay_core(
             base, sub, cfg, extras, rot=rot, pos=pos, vel=vel, rx_geom=rx_geom,
             tx_origin=tx_origin, tx_span=tx_span, fan_block=fan_block,
@@ -297,9 +297,9 @@ def _replay_core(
     rot_hi9 = rot.reshape(nt, 9).astype(f32)
     rot_lo9 = extras.rot_lo.reshape(nt, 9).astype(f32)
 
-    w = res.tri_seq.shape[1]
+    w = res.tri_seq.shape[0]  # tri_seq is [W, L]
     for c in range(w):
-        tri = res.tri_seq[:, c]
+        tri = res.tri_seq[c]
         have = tri >= 0
         tri_s = jnp.clip(tri, 0, base.tri_verts.shape[0] - 1)
         targ = jnp.clip(base.tri_target[tri_s], 0, nt - 1)

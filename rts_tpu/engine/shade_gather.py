@@ -124,14 +124,17 @@ def shade_rows_window(table, tri, ray_tile: int, cluster_size: int, window_k: in
 def gather_shade(table, tri, cfg):
     """Dispatch the hit-shading row gather per ``cfg.shade_gather``.
 
-    "row": plain XLA row gather.  "window": winner-cluster window path
-    with an unconditional batch-level fallback to the row gather when
-    any tile exceeds ``cfg.shade_window_k`` distinct winner clusters.
+    Returns [F, L] (components-major, the engine's lanes-last layout).
+    "row": plain XLA row gather (+ transpose — the gather itself fuses
+    into its consumers and measured ~0 in situ, docs/PERF.md r3h).
+    "window": winner-cluster window path with an unconditional
+    batch-level fallback to the row gather when any tile exceeds
+    ``cfg.shade_window_k`` distinct winner clusters.
     """
     tri_c = jnp.clip(tri, 0, table.shape[0] - 1)
     if cfg.shade_gather != "window" or cfg.accel != "cluster":
-        return table[tri_c]
+        return table[tri_c].T
     win, overflow = shade_rows_window(
         table, tri_c, cfg.ray_tile, cfg.cluster_size, cfg.shade_window_k
     )
-    return jax.lax.cond(overflow, lambda: table[tri_c], lambda: win)
+    return jax.lax.cond(overflow, lambda: table[tri_c].T, lambda: win.T)

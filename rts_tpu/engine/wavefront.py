@@ -34,8 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from rts_tpu.core.constants import EARTH_RADIUS, SCENE_EPS, SCENE_EPS_R
-from rts_tpu.core.vec import angle_in_range, dot3, normalize3
-from rts_tpu.engine.fan import generate_fan
+from rts_tpu.core.vec import angle_in_range, dot3, dot3c, normalize3, normalize3c
+from rts_tpu.engine.fan import generate_fan_c
 from rts_tpu.engine.intersect import closest_hit_bruteforce
 from rts_tpu.engine.types import DeviceScene, RxGeomDevice, TraceConfig
 
@@ -43,11 +43,20 @@ PI = jnp.pi
 
 
 class LaneState(NamedTuple):
-    """Shiftable per-chain state (the PerRayData analogue, SoA)."""
+    """Shiftable per-chain state (the PerRayData analogue, SoA).
 
-    origin: jnp.ndarray  # [L, 3] prevHitPoint / segment origin
-    direction: jnp.ndarray  # [L, 3] double3-analogue propagation direction
-    seg_dir: jnp.ndarray  # [L, 3] the f32-valued OptiX ray.direction
+    LANES ARE THE LAST AXIS of every leaf; batched 3-vectors are
+    components-major [3, L].  XLA:TPU tiles the two minor dims to
+    (8, 128), so a [L, 3] leaf would pad 3 -> 128 lanes and every
+    loop-carry/fusion-boundary materialisation would move ~42x the
+    logical bytes (measured as the ~6 ms/segment hit-body block,
+    docs/PERF.md r3q/r3r).  The uniform lanes-last rule keeps every
+    lane-indexed tree op a plain ``leaf[..., idx]``.
+    """
+
+    origin: jnp.ndarray  # [3, L] prevHitPoint / segment origin
+    direction: jnp.ndarray  # [3, L] double3-analogue propagation direction
+    seg_dir: jnp.ndarray  # [3, L] the f32-valued OptiX ray.direction
     tmin: jnp.ndarray  # [L]
     ray_length: jnp.ndarray  # [L]
     power: jnp.ndarray  # [L]
@@ -58,7 +67,7 @@ class LaneState(NamedTuple):
     refr_depth: jnp.ndarray  # [L] int32
     slot_base: jnp.ndarray  # [L] int32 (maxRayIndex)
     received: jnp.ndarray  # [L] int32
-    first_hit: jnp.ndarray  # [L, 3]
+    first_hit: jnp.ndarray  # [3, L]
     end: jnp.ndarray  # [L] bool
     active: jnp.ndarray  # [L] bool
     born: jnp.ndarray  # [L] bool — lane was ever spawned (vs zero-fill slot)
@@ -66,31 +75,33 @@ class LaneState(NamedTuple):
     # (engine/replay.py): the triangle hit at each chain step (children
     # inherit the parent's prefix through the spawn shift), and per-
     # receiver capture/root-choice bitmasks from the miss stage.
-    tri_seq: jnp.ndarray  # [L, W] int32, -1 = no hit at that chain step
+    tri_seq: jnp.ndarray  # [W, L] int32, -1 = no hit at that chain step
     cap_bits: jnp.ndarray  # [L] int32, bit rx set when the lane was captured by rx
     cap_root0_bits: jnp.ndarray  # [L] int32, bit rx set when the NEAR root captured
 
 
 class TraceBuffers(NamedTuple):
-    """Row-indexed side outputs (full ray_total height)."""
+    """Column-indexed side outputs (full ray_total width, lanes last)."""
 
-    path: jnp.ndarray  # [R, D] int32 (dbuf_targ_intersect)
-    rcs: jnp.ndarray  # [R, D, 2] (dbuf_rcs_angle)
+    path: jnp.ndarray  # [D, R] int32 (dbuf_targ_intersect)
+    rcs: jnp.ndarray  # [2, D, R] (dbuf_rcs_angle; leading axis az/el)
 
 
 class TraceResult(NamedTuple):
+    """Per-pulse outputs; lanes are the LAST axis of every leaf."""
+
     ray_length: jnp.ndarray  # [R]
     power: jnp.ndarray  # [R]
     doppler: jnp.ndarray  # [R]
     received: jnp.ndarray  # [R] int32
     refl_depth: jnp.ndarray  # [R] int32
     refr_depth: jnp.ndarray  # [R] int32
-    first_hit: jnp.ndarray  # [R, 3]
-    prev_hit: jnp.ndarray  # [R, 3]
-    path: jnp.ndarray  # [R, D] int32
-    rcs: jnp.ndarray  # [R, D, 2]
+    first_hit: jnp.ndarray  # [3, R]
+    prev_hit: jnp.ndarray  # [3, R]
+    path: jnp.ndarray  # [D, R] int32
+    rcs: jnp.ndarray  # [2, D, R]
     # chain record for ds replay (engine/replay.py); zeros/-1 when unused
-    tri_seq: jnp.ndarray  # [R, W] int32
+    tri_seq: jnp.ndarray  # [W, R] int32
     cap_bits: jnp.ndarray  # [R] int32
     cap_root0_bits: jnp.ndarray  # [R] int32
     ray_length_lo: jnp.ndarray  # [R] ds residual of ray_length (replay output)
@@ -108,50 +119,54 @@ def _q32(x, cfg: TraceConfig):
 
 
 def _reflect(i, n, cfg: TraceConfig):
-    """OptiX reflect on the float3 ray (normal_shader.cu:296)."""
+    """OptiX reflect on the float3 ray (normal_shader.cu:296).
+    Components-major [3, L] vectors."""
     if cfg.strict_parity:
         i32, n32 = i.astype(jnp.float32), n.astype(jnp.float32)
-        return (i32 - 2.0 * n32 * dot3(i32, n32)[..., None]).astype(i.dtype)
-    return i - 2.0 * n * dot3(i, n)[..., None]
+        return (i32 - 2.0 * n32 * dot3c(i32, n32)[None]).astype(i.dtype)
+    return i - 2.0 * n * dot3c(i, n)[None]
 
 
 def _refract(i, n, ior, cfg: TraceConfig):
     """OptiX refract semantics (normal_shader.cu:212); float32 under
-    strict parity.  Returns (unit direction, ok)."""
+    strict parity.  [3, L] vectors.  Returns (unit direction, ok)."""
     dtype = i.dtype
     if cfg.strict_parity:
         i = i.astype(jnp.float32)
         n = n.astype(jnp.float32)
         ior = ior.astype(jnp.float32)
-    ndotv = dot3(i, n)
+    ndotv = dot3c(i, n)
     backface = ndotv > 0.0
     eta = jnp.where(backface, ior, 1.0 / ior)
-    nn = jnp.where(backface[..., None], -n, n)
+    nn = jnp.where(backface, -n, n)
     neg_ndotv = jnp.where(backface, -ndotv, ndotv)
     k = 1.0 - eta * eta * (1.0 - neg_ndotv * neg_ndotv)
     ok = k >= 0.0
-    r = eta[..., None] * i - (eta * neg_ndotv + jnp.sqrt(jnp.where(ok, k, 0.0)))[..., None] * nn
-    r = r / jnp.sqrt(jnp.maximum(dot3(r, r), 1e-300 if r.dtype == jnp.float64 else 1e-30))[..., None]
+    r = eta[None] * i - (eta * neg_ndotv + jnp.sqrt(jnp.where(ok, k, 0.0)))[None] * nn
+    r = r / jnp.sqrt(jnp.maximum(dot3c(r, r), 1e-300 if r.dtype == jnp.float64 else 1e-30))[None]
     return r.astype(dtype), ok
 
 
 def _cart_to_sph2(v):
-    azi = jnp.arctan2(v[..., 1], v[..., 0])
-    ele = jnp.arctan2(v[..., 2], jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2))
+    azi = jnp.arctan2(v[1], v[0])
+    ele = jnp.arctan2(v[2], jnp.sqrt(v[0] ** 2 + v[1] ** 2))
     return azi, ele
 
 
 def _scatter_col(buf, col, value, mask):
-    """Masked per-row write buf[r, col[r]] = value[r] without scatter:
-    one-hot select over the (small, static) depth axis."""
-    d = buf.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], d), 1)
-    sel = mask[:, None] & (cols == col[:, None])
+    """Masked per-lane write buf[col[l], l] = value[l] without scatter:
+    one-hot select over the (small, static) leading depth axis.
+
+    ``buf`` is [D, L] (path) or [2, D, L] (rcs); ``value`` is [L] or
+    [2, L] correspondingly; ``col``/``mask`` are [L]."""
+    d = buf.shape[-2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, buf.shape[-1]), 0)
+    sel = mask[None, :] & (cols == col[None, :])
     if buf.ndim == 3:
-        sel = sel[..., None]
+        sel = sel[None]
         value = value[:, None, :]
     else:
-        value = value[:, None]
+        value = value[None, :]
     return jnp.where(sel, value.astype(buf.dtype), buf)
 
 
@@ -167,7 +182,7 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     gated by a provably all-False mask there, so results are identical;
     it also lets narrow lane blocks trace without the full-fan n3 lane
     shifts (see trace_fan's compact_narrow path)."""
-    l = state.origin.shape[0]
+    l = state.origin.shape[1]
     dtype = state.origin.dtype
 
     tri = jnp.clip(hit.tri, 0, scene.tri_target.shape[0] - 1)
@@ -180,9 +195,9 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         # [T] + [T, 3, 3] gathers share indices but XLA keeps them apart
         from rts_tpu.engine.shade_gather import gather_shade
 
-        shade = gather_shade(scene.shade_pack, tri, cfg)  # [L, 10]
-        targ = shade[:, 9].astype(jnp.int32)
-        fused_cn = shade[:, :9].reshape(-1, 3, 3)
+        shade = gather_shade(scene.shade_pack, tri, cfg)  # [10, L]
+        targ = shade[9].astype(jnp.int32)
+        fused_cn = shade[:9].reshape(3, 3, -1)  # [corner, comp, L]
     else:
         targ = scene.tri_target[tri]
     nt = scene.target_refl.shape[0]
@@ -191,17 +206,21 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     # Per-lane target attributes: XLA lowers many-index gathers from tiny
     # [NT] operands pathologically; a one-hot contraction runs at memory
     # speed.  Gate on NT so huge target counts keep the gather.
+    # Lanes-last: the one-hot is [NT, L] and results are [L] / [k, L].
     if nt <= 16:
-        _oh = (targ_safe[:, None] == jnp.arange(nt, dtype=jnp.int32)[None, :]).astype(dtype)
+        _oh = (jnp.arange(nt, dtype=jnp.int32)[:, None] == targ_safe[None, :]).astype(dtype)
 
-        def _tgather(a):  # [NT] or [NT, k] -> per-lane values
+        def _tgather(a):  # [NT] or [NT, k] -> per-lane values [L] / [k, L]
             # precision pinned: integer target attrs ride this f32 dot
-            return jnp.matmul(_oh, a.astype(dtype), precision=jax.lax.Precision.HIGHEST)
+            a2 = a.astype(dtype).reshape(nt, -1)
+            out = jnp.matmul(a2.T, _oh, precision=jax.lax.Precision.HIGHEST)
+            return out[0] if a.ndim == 1 else out
 
     else:
 
         def _tgather(a):
-            return a.astype(dtype)[targ_safe]
+            g = a.astype(dtype)[targ_safe]  # [L] or [L, k]
+            return g if a.ndim == 1 else g.T
 
     gate = (
         hit_mask
@@ -216,7 +235,7 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     col = state.refl_depth + state.refr_depth
     rec = gate & (state.refr_depth != 1) & (col < cfg.depth_total)
     path = bufs.path
-    path = path.at[:l].set(_scatter_col(path[:l], col, targ, rec))
+    path = path.at[:, :l].set(_scatter_col(path[:, :l], col, targ, rec))
 
     # --- chain record for ds replay: every gated hit, indexed by its
     # chain step (col is monotone along a chain; children inherit the
@@ -226,12 +245,12 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     # --- geometry update
     hit_t = _q32(hit.t, cfg)
     hit_t = jnp.where(gate, hit_t, 0.0)
-    hit_point = state.origin + hit_t[:, None] * state.direction
+    hit_point = state.origin + hit_t[None] * state.direction
     ray_length = state.ray_length + hit_t
 
     first = gate & (state.refl_depth == 0) & (state.refr_depth == 0)
-    leg = jnp.where(first[:, None], hit_point - tx_origin, hit_point - state.origin)
-    leg_sq = dot3(leg, leg)
+    leg = jnp.where(first, hit_point - tx_origin[:, None], hit_point - state.origin)
+    leg_sq = dot3c(leg, leg)
     eps = jnp.where(first, SCENE_EPS, SCENE_EPS_R)
     ok_leg = jnp.sqrt(leg_sq) >= eps
     four_pi = 4.0 * PI
@@ -240,8 +259,8 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     power = jnp.where(gate & ~first & ok_leg, power / (leg_sq * four_pi), power)
     end = state.end | (gate & ~ok_leg)
 
-    first_hit = jnp.where(first[:, None], hit_point, state.first_hit)
-    origin = jnp.where(gate[:, None], hit_point, state.origin)
+    first_hit = jnp.where(first, hit_point, state.first_hit)
+    origin = jnp.where(gate, hit_point, state.origin)
 
     # --- shading normal (triangle_mesh.cu:174-194)
     from rts_tpu.engine.animate import ClusterScene
@@ -251,40 +270,40 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
             # Interpolate BASE normals, rotate the result per lane —
             # rotation is linear so this equals rotating all T normals
             # per pulse, at O(lanes) instead of O(T).
-            cn = fused_cn  # [L, 3, 3] (from the fused shade_pack gather)
+            cn = fused_cn  # [corner, comp, L] (fused shade_pack gather)
             nrm_b = (
-                cn[:, 1] * hit.beta[:, None]
-                + cn[:, 2] * hit.gamma[:, None]
-                + cn[:, 0] * (1.0 - hit.beta - hit.gamma)[:, None]
-            )
-            r9 = _tgather(scene.rot.reshape(-1, 9))  # [L, 9]
+                cn[1] * hit.beta[None]
+                + cn[2] * hit.gamma[None]
+                + cn[0] * (1.0 - hit.beta - hit.gamma)[None]
+            )  # [3, L]
+            r9 = _tgather(scene.rot.reshape(-1, 9))  # [9, L]
             nrm = jnp.stack(
                 [
-                    r9[:, 0] * nrm_b[:, 0] + r9[:, 1] * nrm_b[:, 1] + r9[:, 2] * nrm_b[:, 2],
-                    r9[:, 3] * nrm_b[:, 0] + r9[:, 4] * nrm_b[:, 1] + r9[:, 5] * nrm_b[:, 2],
-                    r9[:, 6] * nrm_b[:, 0] + r9[:, 7] * nrm_b[:, 1] + r9[:, 8] * nrm_b[:, 2],
+                    r9[0] * nrm_b[0] + r9[1] * nrm_b[1] + r9[2] * nrm_b[2],
+                    r9[3] * nrm_b[0] + r9[4] * nrm_b[1] + r9[5] * nrm_b[2],
+                    r9[6] * nrm_b[0] + r9[7] * nrm_b[1] + r9[8] * nrm_b[2],
                 ],
-                axis=-1,
+                axis=0,
             )
         else:
             # geometric normal = pack rows 0:3, already world-frame
-            nrm = scene.tri_pack[0:3, :][:, tri].T
+            nrm = scene.tri_pack[0:3, :][:, tri]
     elif cfg.interpolate_smooth:
-        cn = scene.tri_corner_normals[tri]  # [L, 3, 3]
+        cn = jnp.moveaxis(scene.tri_corner_normals[tri], 0, -1)  # [corner, comp, L]
         nrm = (
-            cn[:, 1] * hit.beta[:, None]
-            + cn[:, 2] * hit.gamma[:, None]
-            + cn[:, 0] * (1.0 - hit.beta - hit.gamma)[:, None]
+            cn[1] * hit.beta[None]
+            + cn[2] * hit.gamma[None]
+            + cn[0] * (1.0 - hit.beta - hit.gamma)[None]
         )
     else:
-        nrm = scene.tri_n[tri]
-    nrm = normalize3(nrm)
+        nrm = scene.tri_n[tri].T
+    nrm = normalize3c(nrm)
     nrm = jnp.where(jnp.isfinite(nrm), nrm, 0.0)
     normal_f = _q32(nrm, cfg)
 
-    v_targ = _tgather(scene.target_vel)
-    refl_c = _tgather(scene.target_refl)
-    k0 = normalize3(state.direction)
+    v_targ = _tgather(scene.target_vel)  # [3, L]
+    refl_c = _tgather(scene.target_refl)  # [L]
+    k0 = normalize3c(state.direction)
     k0 = jnp.where(jnp.isfinite(k0), k0, 0.0)
     k0_azi, k0_ele = _cart_to_sph2(k0)
 
@@ -301,8 +320,8 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         spawn_mask = can & refr_ok
 
         child_power = jnp.where(state.refl_depth + 1 < cfg.max_refl_dev, power * (1.0 - jnp.abs(refl_c)), power)
-        k1 = normalize3(refr_dir)
-        child_doppler = state.doppler + dot3(v_targ, k1 - k0)
+        k1 = normalize3c(refr_dir)
+        child_doppler = state.doppler + dot3c(v_targ, k1 - k0)
         child = LaneState(
             origin=hit_point,
             direction=refr_dir.astype(dtype),
@@ -328,11 +347,11 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
 
         # refraction RCS angles -> child row (normal_shader.cu:259-265)
         k1_azi, k1_ele = _cart_to_sph2(-k1)
-        rcs_val = jnp.stack([k0_azi + k1_azi, k0_ele + k1_ele], axis=-1)
+        rcs_val = jnp.stack([k0_azi + k1_azi, k0_ele + k1_ele], axis=0)  # [2, L]
         child_col = state.refl_depth + state.refr_depth  # refl + (refr+1) - 1
-        rcs = rcs.at[:l].set(
+        rcs = rcs.at[:, :, :l].set(
             _scatter_col(
-                rcs[:l],
+                rcs[:, :, :l],
                 _shift_down(child_col, n3),
                 _shift_down(rcs_val, n3),
                 _shift_down(spawn_mask, n3),
@@ -341,12 +360,12 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
 
         # pre-filled trapped/exiting path rows (normal_shader.cu:221-239)
         prefill = spawn_mask & (state.refr_depth == 0) & (state.slot_base == 0)
-        r_rows = path.shape[0]
+        r_rows = path.shape[1]
         ncols = cfg.depth_total
         # trapped row (slot 1): every column
         pf_rows = _shift_to_rows(prefill, n3, r_rows)
         pf_targ = _shift_to_rows(targ, n3, r_rows)
-        path = jnp.where(pf_rows[:, None], pf_targ[:, None], path)
+        path = jnp.where(pf_rows[None, :], pf_targ[None, :], path)
         # exiting rows (slots j+2, j = 0..max_refl_dev-1): columns 0..j+1
         for j in range(cfg.max_refl_dev):
             off = (j + 2) * n3
@@ -355,8 +374,8 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
             rows = _shift_to_rows(prefill, off, r_rows)
             tg = _shift_to_rows(targ, off, r_rows)
             width = min(j + 2, ncols)
-            colsel = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) < width
-            path = jnp.where(rows[:, None] & colsel, tg[:, None], path)
+            colsel = jax.lax.broadcasted_iota(jnp.int32, (ncols, 1), 0) < width
+            path = jnp.where(rows[None, :] & colsel, tg[None, :], path)
 
     # --- reflection (normal_shader.cu:286-333)
     refl_depth = jnp.where(gate, state.refl_depth + 1, state.refl_depth)
@@ -366,18 +385,18 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     do_refl = gate & (refl_depth < cfg.max_refl_dev)
     refl_dir = _reflect(state.seg_dir, normal_f, cfg)
     power = jnp.where(do_refl, power * refl_c, power)
-    k1r = normalize3(refl_dir)
+    k1r = normalize3c(refl_dir)
     k1r = jnp.where(jnp.isfinite(k1r), k1r, 0.0)
-    doppler = state.doppler + jnp.where(do_refl, dot3(v_targ, k1r - k0), 0.0)
-    direction = jnp.where(do_refl[:, None], refl_dir.astype(dtype), state.direction)
-    seg_dir = jnp.where(do_refl[:, None], refl_dir.astype(dtype), state.seg_dir)
+    doppler = state.doppler + jnp.where(do_refl, dot3c(v_targ, k1r - k0), 0.0)
+    direction = jnp.where(do_refl, refl_dir.astype(dtype), state.direction)
+    seg_dir = jnp.where(do_refl, refl_dir.astype(dtype), state.seg_dir)
     tmin = jnp.where(do_refl, jnp.asarray(SCENE_EPS_R, dtype), state.tmin)
 
     # reflection RCS angles -> own row (normal_shader.cu:319-326)
     k1r_azi, k1r_ele = _cart_to_sph2(-k1r)
-    rcs_val_r = jnp.stack([k0_azi + k1r_azi, k0_ele + k1r_ele], axis=-1)
+    rcs_val_r = jnp.stack([k0_azi + k1r_azi, k0_ele + k1r_ele], axis=0)  # [2, L]
     rcs_col_r = (refl_depth - 1) + state.refr_depth
-    rcs = rcs.at[:l].set(_scatter_col(rcs[:l], rcs_col_r, rcs_val_r, do_refl))
+    rcs = rcs.at[:, :, :l].set(_scatter_col(rcs[:, :, :l], rcs_col_r, rcs_val_r, do_refl))
 
     # No outer hit_mask merge is needed: every field above is computed
     # with an inner where on ``gate`` (or a mask contained in it), so it
@@ -411,32 +430,29 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     if cfg.refraction_on and spawn:
         shifted_child = jax.tree.map(partial(_shift_down, n3=n3), child)
         shifted_spawn = _shift_down(spawn_mask, n3=n3)
+        # lanes-last everywhere: a [L] mask broadcasts against every leaf
         merged = jax.tree.map(
-            lambda c, s: jnp.where(_bmask(shifted_spawn, c), c, s), shifted_child, merged
+            lambda c, s: jnp.where(shifted_spawn, c, s), shifted_child, merged
         )
 
     return merged, TraceBuffers(path=path, rcs=rcs)
 
 
-def _bmask(mask, a):
-    """Broadcast a [L] bool mask against array a of rank 1 or 2."""
-    return mask[:, None] if a.ndim == 2 else mask
-
-
 def _shift_down(a, n3: int):
-    """Move lane l to lane l + n3 (zero-fill the first n3 lanes)."""
-    pad = jnp.zeros((n3,) + a.shape[1:], a.dtype)
-    return jnp.concatenate([pad, a[:-n3]], axis=0)
+    """Move lane l to lane l + n3 (zero-fill the first n3 lanes).
+    Lanes are the LAST axis of every leaf."""
+    pad = jnp.zeros(a.shape[:-1] + (n3,), a.dtype)
+    return jnp.concatenate([pad, a[..., :-n3]], axis=-1)
 
 
 def _shift_to_rows(a, off: int, rows: int):
-    """Place a[i] at row i+off of a zero buffer with ``rows`` rows."""
-    take = min(rows - off, a.shape[0])
-    parts = [jnp.zeros((off,) + a.shape[1:], a.dtype), a[:take]]
+    """Place a[..., i] at lane i+off of a zero buffer with ``rows`` lanes."""
+    take = min(rows - off, a.shape[-1])
+    parts = [jnp.zeros(a.shape[:-1] + (off,), a.dtype), a[..., :take]]
     used = off + take
     if used < rows:
-        parts.append(jnp.zeros((rows - used,) + a.shape[1:], a.dtype))
-    return jnp.concatenate(parts, axis=0)
+        parts.append(jnp.zeros(a.shape[:-1] + (rows - used,), a.dtype))
+    return jnp.concatenate(parts, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -457,14 +473,14 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
     cap_bits = state.cap_bits
     cap_root0_bits = state.cap_root0_bits
 
-    d = state.direction
-    a_q = dot3(d, d)
+    d = state.direction  # [3, L]
+    a_q = dot3c(d, d)
 
     for rx_i in range(rx.num_rx):
-        c = rx.centre[rx_i]
+        c = rx.centre[rx_i][:, None]  # [3, 1]
         o = state.origin
-        b_q = 2.0 * dot3(o - c, d)
-        c_q = dot3(o, o) + jnp.dot(c, c) - 2.0 * (o @ c) - rx.radius[rx_i] ** 2
+        b_q = 2.0 * dot3c(o - c, d)
+        c_q = dot3c(o, o) + dot3c(c, c) - 2.0 * dot3c(o, c) - rx.radius[rx_i] ** 2
         disc = b_q * b_q - 4.0 * a_q * c_q
         has = m_entry & (disc > 0.0)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -473,19 +489,19 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
 
         def _root_captured(ti):
             okt = (ti >= 0.0) & (ray_length + ti > SCENE_EPS) & (ray_length + ti > SCENE_EPS_R)
-            ep = o + ti[:, None] * d
+            ep = o + ti[None] * d
             rel = ep - c
             if cfg.strict_parity:
                 theta = jnp.arctan2(
-                    rel[:, 1].astype(jnp.float32), rel[:, 0].astype(jnp.float32)
+                    rel[1].astype(jnp.float32), rel[0].astype(jnp.float32)
                 ).astype(dtype)
                 phi = jnp.arctan2(
-                    rel[:, 2].astype(jnp.float32),
-                    jnp.sqrt(rel[:, 1] ** 2 + rel[:, 0] ** 2).astype(jnp.float32),
+                    rel[2].astype(jnp.float32),
+                    jnp.sqrt(rel[1] ** 2 + rel[0] ** 2).astype(jnp.float32),
                 ).astype(dtype)
             else:
-                theta = jnp.arctan2(rel[:, 1], rel[:, 0])
-                phi = jnp.arctan2(rel[:, 2], jnp.sqrt(rel[:, 1] ** 2 + rel[:, 0] ** 2))
+                theta = jnp.arctan2(rel[1], rel[0])
+                phi = jnp.arctan2(rel[2], jnp.sqrt(rel[1] ** 2 + rel[0] ** 2))
 
             # fold phi into [-pi/2, pi/2] (cu:332-340)
             low = phi < -PI / 2
@@ -530,19 +546,19 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
 
         end = end | cap  # set before the epsilon gates (cu:396)
 
-        ep = state.origin + t_cap[:, None] * d
+        ep = state.origin + t_cap[None] * d
         direct = (state.refl_depth == 0) & (state.refr_depth == 0)
-        rx_range_direct = ep - tx_origin
+        rx_range_direct = ep - tx_origin[:, None]
         rx_range_ind = ep - state.origin
-        len_dir = jnp.sqrt(dot3(rx_range_direct, rx_range_direct))
-        len_ind = jnp.sqrt(dot3(rx_range_ind, rx_range_ind))
+        len_dir = jnp.sqrt(dot3c(rx_range_direct, rx_range_direct))
+        len_ind = jnp.sqrt(dot3c(rx_range_ind, rx_range_ind))
 
         cap_dir = cap & direct & (len_dir >= SCENE_EPS)
         cap_ind = cap & ~direct & (len_ind >= SCENE_EPS_R)
 
-        power = jnp.where(cap_dir, 1.0 / (four_pi_sq * dot3(rx_range_direct, rx_range_direct)), power)
+        power = jnp.where(cap_dir, 1.0 / (four_pi_sq * dot3c(rx_range_direct, rx_range_direct)), power)
         doppler = jnp.where(cap_dir, 0.0, doppler)
-        power = jnp.where(cap_ind, power / (dot3(rx_range_ind, rx_range_ind) * four_pi_sq), power)
+        power = jnp.where(cap_ind, power / (dot3c(rx_range_ind, rx_range_ind) * four_pi_sq), power)
         got = cap_dir | cap_ind
         ray_length = jnp.where(got, ray_length + t_cap, ray_length)
         received = jnp.where(got, rx_i, received)
@@ -555,8 +571,8 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
     # Earth-sphere termination (cu:438-477)
     e = miss_mask & ~end
     o = state.origin
-    b_q = 2.0 * dot3(o, d)
-    c_q = dot3(o, o) - EARTH_RADIUS**2
+    b_q = 2.0 * dot3c(o, d)
+    c_q = dot3c(o, o) - EARTH_RADIUS**2
     disc = b_q * b_q - 4.0 * a_q * c_q
     has = e & (disc > 0.0)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -588,14 +604,14 @@ def _lane_sort_key(state: LaneState) -> jnp.ndarray:
     minor).  Secondary rays share origins (the hit surface) but scatter
     in direction, so direction must dominate the tile grouping for the
     re-formed 256-ray tiles to have compact frusta."""
-    o = state.origin
+    o = state.origin  # [3, L]
     live = state.active
     big = jnp.asarray(3.0e38, o.dtype)
-    lo = jnp.min(jnp.where(live[:, None], o, big), axis=0)
-    hi = jnp.max(jnp.where(live[:, None], o, -big), axis=0)
+    lo = jnp.min(jnp.where(live, o, big), axis=1)
+    hi = jnp.max(jnp.where(live, o, -big), axis=1)
     span = jnp.where(hi > lo, hi - lo, 1.0)
-    qo = jnp.clip((o - lo) / span * 31.0, 0.0, 31.0).astype(jnp.uint32)
-    d = normalize3(state.direction)
+    qo = jnp.clip((o - lo[:, None]) / span[:, None] * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    d = normalize3c(state.direction)
     d = jnp.where(jnp.isfinite(d), d, 0.0)
     qd = jnp.clip((d + 1.0) * 15.5, 0.0, 31.0).astype(jnp.uint32)
 
@@ -606,22 +622,22 @@ def _lane_sort_key(state: LaneState) -> jnp.ndarray:
         return v
 
     def morton5(q):
-        return (spread5(q[:, 0]) << 2) | (spread5(q[:, 1]) << 1) | spread5(q[:, 2])
+        return (spread5(q[0]) << 2) | (spread5(q[1]) << 1) | spread5(q[2])
 
     code = (morton5(qd) << 15) | morton5(qo)
     return jnp.where(live, code, jnp.uint32(1) << 31 | code)
 
 
 def _init_state(cfg: TraceConfig, tx_origin, dirs, dtype) -> LaneState:
-    n3 = dirs.shape[0]
+    n3 = dirs.shape[1]  # dirs [3, F] components-major
     lanes = 3 * n3 if cfg.refraction_on else n3  # only chains that can exist
-    zeros3 = jnp.zeros((lanes, 3), dtype)
-    direction = zeros3.at[:n3].set(dirs)
-    seg = _q32(normalize3(dirs), cfg)
-    seg_dir = zeros3.at[:n3].set(seg)
+    zeros3 = jnp.zeros((3, lanes), dtype)
+    direction = zeros3.at[:, :n3].set(dirs)
+    seg = _q32(normalize3c(dirs), cfg)
+    seg_dir = zeros3.at[:, :n3].set(seg)
     active = jnp.zeros((lanes,), bool).at[:n3].set(True)
     return LaneState(
-        origin=jnp.broadcast_to(tx_origin, (lanes, 3)).astype(dtype),
+        origin=jnp.broadcast_to(tx_origin[:, None], (3, lanes)).astype(dtype),
         direction=direction,
         seg_dir=seg_dir,
         tmin=jnp.full((lanes,), SCENE_EPS, dtype),
@@ -638,7 +654,7 @@ def _init_state(cfg: TraceConfig, tx_origin, dirs, dtype) -> LaneState:
         end=jnp.zeros((lanes,), bool),
         active=active,
         born=active,
-        tri_seq=jnp.full((lanes, cfg.tri_seq_width), -1, jnp.int32),
+        tri_seq=jnp.full((cfg.tri_seq_width, lanes), -1, jnp.int32),
         cap_bits=jnp.zeros((lanes,), jnp.int32),
         cap_root0_bits=jnp.zeros((lanes,), jnp.int32),
     )
@@ -648,20 +664,21 @@ def trace_fan(
     scene: DeviceScene,
     rx: RxGeomDevice,
     tx_origin,
-    fan_dirs,  # [F, 3] primary ray directions (a full fan or a shard block)
+    fan_dirs,  # [3, F] primary ray directions (a full fan or a shard block)
     cfg: TraceConfig,
 ) -> TraceResult:
     """Trace an arbitrary block of primary rays through all bounces.
 
-    The result height is ``slot_multiplier * F`` — when ``fan_dirs`` is the
-    full N^3 fan this is the reference's ``rayTotal`` buffer layout
-    (ray_tracer.cpp:626); when it is a shard of the fan, each device
-    produces the same layout over its block, and the pulse-level result is
-    reassembled by an all-gather + slot-major interleave (parallel/).
+    The result width is ``slot_multiplier * F`` lanes (lanes-last on every
+    leaf) — when ``fan_dirs`` is the full N^3 fan this is the reference's
+    ``rayTotal`` buffer layout (ray_tracer.cpp:626); when it is a shard of
+    the fan, each device produces the same layout over its block, and the
+    pulse-level result is reassembled by an all-gather + slot-major
+    interleave (parallel/).
     """
     dtype = scene[0].dtype  # tri_p0 (DeviceScene) or tri_pack (ClusterScene)
     tx_origin = jnp.asarray(tx_origin, dtype)
-    n3 = fan_dirs.shape[0]
+    n3 = fan_dirs.shape[1]
 
     # Morton-tile the fan so each 256-ray traversal tile is a compact
     # angular patch instead of a thin strip; results are inverse-permuted
@@ -676,12 +693,12 @@ def trace_fan(
         from rts_tpu.engine.fan import fan_tile_perm
 
         fan_perm = fan_tile_perm(cfg.num_rays, cfg.fan_order)
-        fan_dirs = fan_dirs[jnp.asarray(fan_perm)]
+        fan_dirs = fan_dirs[:, jnp.asarray(fan_perm)]
     ray_total = cfg.slot_multiplier * n3
     state = _init_state(cfg, tx_origin, fan_dirs, dtype)
     bufs = TraceBuffers(
-        path=jnp.full((ray_total, cfg.depth_total), -1, jnp.int32),
-        rcs=jnp.full((ray_total, cfg.depth_total, 2), -1000000.0, dtype),
+        path=jnp.full((cfg.depth_total, ray_total), -1, jnp.int32),
+        rcs=jnp.full((2, cfg.depth_total, ray_total), -1000000.0, dtype),
     )
 
     if cfg.accel == "cluster":
@@ -726,14 +743,16 @@ def trace_fan(
                 p1_fanout0=cfg.p1_fanout0,
                 p1_super_k0=cfg.p1_super_k0,
                 interpret=cfg.interpret,
+                components=True,  # [3, L] engine layout, no transposes
             )
 
     else:
 
         def hit_fn(origin, direction, tmin):
+            # brute path (tests / tiny scenes): row-layout adapter
             return closest_hit_bruteforce(
-                origin,
-                direction,
+                origin.T,
+                direction.T,
                 tmin,
                 scene.tri_p0,
                 scene.tri_e0,
@@ -751,7 +770,7 @@ def trace_fan(
         # are never consumed (hit/miss masks AND with active), and a zero
         # direction lets the clustered kernel's slab test drop them from
         # every tile — segments after most lanes die become nearly free.
-        live_dir = jnp.where(state.active[:, None], state.direction, 0.0)
+        live_dir = jnp.where(state.active, state.direction, 0.0)
         hit = hit_fn(state.origin, live_dir, state.tmin)
         hit_mask = state.active & hit.found
         miss_mask = state.active & ~hit.found
@@ -779,16 +798,16 @@ def trace_fan(
         state, bufs = jax.lax.fori_loop(0, cfg.num_segments, body, (state, bufs))
         remaining = 0
     if remaining > 0 and cfg.compact_lanes:
-        lanes_n = state.origin.shape[0]
+        lanes_n = state.origin.shape[1]
         # Sort key: dead lanes last; live lanes Morton-ordered by their
         # bounce origin so the re-formed 256-ray tiles are spatially
         # compact for the remaining segments (secondary rays scatter).
         key = _lane_sort_key(state)
         lane_perm = jnp.argsort(key, stable=True)
-        state = jax.tree.map(lambda a: a[lane_perm], state)
+        state = jax.tree.map(lambda a: a[..., lane_perm], state)
         bufs = TraceBuffers(
-            path=bufs.path.at[:lanes_n].set(bufs.path[:lanes_n][lane_perm]),
-            rcs=bufs.rcs.at[:lanes_n].set(bufs.rcs[:lanes_n][lane_perm]),
+            path=bufs.path.at[:, :lanes_n].set(bufs.path[:, :lanes_n][:, lane_perm]),
+            rcs=bufs.rcs.at[:, :, :lanes_n].set(bufs.rcs[:, :, :lanes_n][:, :, lane_perm]),
         )
 
     if remaining > 0:
@@ -807,7 +826,7 @@ def trace_fan(
             # are alive (spawn machinery is inert here: children only
             # spawn in the first two segments, see spawn_segments).
             rt = cfg.ray_tile
-            lanes_n = state.origin.shape[0]
+            lanes_n = state.origin.shape[1]
             tiles_full = lanes_n // rt
             tail = lanes_n - tiles_full * rt
             if cfg.compact_narrow == -1:
@@ -841,16 +860,16 @@ def trace_fan(
                     rows = jnp.concatenate(
                         [rows, jnp.arange(tiles_full * rt, lanes_n, dtype=rows.dtype)]
                     )
-                    s_n = jax.tree.map(lambda a: a[rows], state)
-                    b_n = TraceBuffers(path=bufs.path[rows], rcs=bufs.rcs[rows])
+                    s_n = jax.tree.map(lambda a: a[..., rows], state)
+                    b_n = TraceBuffers(path=bufs.path[..., rows], rcs=bufs.rcs[..., rows])
                     # spawn=False: required at narrow width (the +n3 child
                     # shift doesn't shape-check) and provably inert here —
                     # remaining segments start after spawn_segments
                     s_n, b_n = body(0, (s_n, b_n), spawn=False)
-                    state2 = jax.tree.map(lambda a, b: a.at[rows].set(b), state, s_n)
+                    state2 = jax.tree.map(lambda a, b: a.at[..., rows].set(b), state, s_n)
                     bufs2 = TraceBuffers(
-                        path=bufs.path.at[rows].set(b_n.path),
-                        rcs=bufs.rcs.at[rows].set(b_n.rcs),
+                        path=bufs.path.at[..., rows].set(b_n.path),
+                        rcs=bufs.rcs.at[..., rows].set(b_n.rcs),
                     )
                     return state2, bufs2
 
@@ -878,22 +897,22 @@ def trace_fan(
         state, bufs = jax.lax.fori_loop(0, remaining, seg_body, (state, bufs))
 
     if lane_perm is not None:
-        lanes_n = state.origin.shape[0]
+        lanes_n = state.origin.shape[1]
         inv = jnp.argsort(lane_perm)
-        state = jax.tree.map(lambda a: a[inv], state)
+        state = jax.tree.map(lambda a: a[..., inv], state)
         bufs = TraceBuffers(
-            path=bufs.path.at[:lanes_n].set(bufs.path[:lanes_n][inv]),
-            rcs=bufs.rcs.at[:lanes_n].set(bufs.rcs[:lanes_n][inv]),
+            path=bufs.path.at[:, :lanes_n].set(bufs.path[:, :lanes_n][:, inv]),
+            rcs=bufs.rcs.at[:, :, :lanes_n].set(bufs.rcs[:, :, :lanes_n][:, :, inv]),
         )
 
-    # Assemble full-height results; lanes beyond the traced block stay at
+    # Assemble full-width results; lanes beyond the traced block stay at
     # their zero-fill values (ray_tracer.cu:227-240).
-    lanes = state.origin.shape[0]
+    lanes = state.origin.shape[1]
     r = ray_total
 
-    def fill(x, fill_value, shape_tail=()):
-        out = jnp.full((r,) + shape_tail, fill_value, x.dtype)
-        return out.at[:lanes].set(x)
+    def fill(x, fill_value):
+        out = jnp.full(x.shape[:-1] + (r,), fill_value, x.dtype)
+        return out.at[..., :lanes].set(x)
 
     def unpermute(res: TraceResult) -> TraceResult:
         if fan_perm is None:
@@ -904,7 +923,7 @@ def trace_fan(
         rows = jnp.asarray(
             np.concatenate([s * n3 + inv for s in range(cfg.slot_multiplier)])
         )
-        return jax.tree.map(lambda a: a[rows], res)
+        return jax.tree.map(lambda a: a[..., rows], res)
 
     return unpermute(TraceResult(
         ray_length=fill(state.ray_length, 0.0),
@@ -913,13 +932,13 @@ def trace_fan(
         received=fill(state.received, -1),
         refl_depth=fill(state.refl_depth, 0),
         refr_depth=fill(state.refr_depth, 0),
-        first_hit=fill(state.first_hit, 0.0, (3,)),
+        first_hit=fill(state.first_hit, 0.0),
         # Never-spawned slots report the zero-fill prevHitPoint, not the
         # Tx origin their lane was initialised with (ray_tracer.cu:234).
-        prev_hit=fill(jnp.where(state.born[:, None], state.origin, 0.0), 0.0, (3,)),
+        prev_hit=fill(jnp.where(state.born, state.origin, 0.0), 0.0),
         path=bufs.path,
         rcs=bufs.rcs,
-        tri_seq=fill(state.tri_seq, -1, (state.tri_seq.shape[1],)),
+        tri_seq=fill(state.tri_seq, -1),
         cap_bits=fill(state.cap_bits, 0),
         cap_root0_bits=fill(state.cap_root0_bits, 0),
         ray_length_lo=fill(jnp.zeros_like(state.ray_length), 0.0),
@@ -938,5 +957,5 @@ def trace_pulse(
     """Trace one full pulse: the jitted analogue of rtContextLaunch3D
     (ray_tracer.cpp:1165) plus all recursive bounces."""
     dtype = scene.tri_p0.dtype
-    fan = generate_fan(cfg.num_rays, tx_dir, tx_span, dtype=dtype)
+    fan = generate_fan_c(cfg.num_rays, tx_dir, tx_span, dtype=dtype)
     return trace_fan(scene, rx, tx_origin, fan, cfg)

@@ -124,6 +124,19 @@ _KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "1") == "1"
 #   bit 2: skip the stats_out tail write
 #   bit 3: skip the candidate/sweep dispatch entirely (loops + drain)
 _KERNEL_FLOOR = int(_os.environ.get("RTS_KERNEL_FLOOR", "0"))
+# PACKED_IO: marshal the per-ray kernel I/O through lane-major packs.
+# The legacy layout fed o/d as [lp, 3], tmin as [lp, 1] and wrote four
+# [lp, 1] outputs — every one of those blocks pads its minor dim to the
+# 128-lane tile, so each 512-ray grid step DMA'd ~1.8 MB where ~20 KB is
+# logical.  The r3q dead-floor bisect (scripts/profile_kfloor.py) proved
+# the whole ~6 us/tile row floor IS this pipeline traffic: deleting the
+# entire kernel body (mask 15) moved nothing.  Packed mode feeds ONE
+# [8, lp] input (rows o0,o1,o2,d0,d1,d2,tmin,pad), accumulates the
+# running best in a [rt, 8] VMEM scratch, and writes ONE [8, lp] output
+# (rows t,tri,beta,gamma as f32; tri ids are exact in f32 below 2^24) —
+# 16 KB per grid step and 2 block copies instead of 7.  In-kernel
+# (8,rt)<->(rt,8) transposes bridge to the rays-on-sublanes MT layout.
+_PACKED_IO = _os.environ.get("RTS_KERNEL_PACKED_IO", "1") == "1"
 
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:
@@ -169,41 +182,41 @@ def _slab_overlap(o, d, tmin, best, mn, mx):
 
 
 def _mt_kernel(
-    o_ref,  # [RT, 3] VMEM
-    d_ref,  # [RT, 3] VMEM
-    tmin_ref,  # [RT, 1] VMEM
-    mn_ref,  # [Cp, 3] VMEM (padded to a multiple of group_size)
-    mx_ref,  # [Cp, 3] VMEM
-    gmn_ref,  # [G, 3] VMEM supercluster bounds
-    gmx_ref,  # [G, 3] VMEM
-    smn_ref,  # [S, 3] VMEM super²-cluster bounds (groups of groups)
-    smx_ref,  # [S, 3] VMEM
-    sorder_ref,  # SMEM int32, ROW-PACKED [ceil(S/128), 128] — supergroup
-    #              visit order (near-to-far); entry i at [i//128, i%128]
-    gorder_ref,  # SMEM int32, row-packed like sorder — group visit order,
-    #              near-to-far WITHIN each supergroup (slot sg*super_size+j
-    #              holds the j-th nearest group of supergroup sg)
-    cand_ref,  # SMEM int32 [ceil(tiles/tpr), tpr*K] — per-tile candidate
-    #            clusters, near-to-far; tile t's slot i lives at
-    #            [t//tpr, (t%tpr)*K + i] with tpr = max(1, 128//K).
-    #            SMEM rows are lane-padded to 128 int32 (512 B) no matter
-    #            the declared width, so narrow per-tile rows would waste
-    #            ~4x the 1 MB SMEM (the unpacked layout measured 998 KB
-    #            at a 63^3 fan — one row of padding from the capacity).
-    meta_ref,  # SMEM int32 [ceil(tiles/64), 128] — per-tile (candidate
-    #            count, overflow flag) at [t//64, (t%64)*2 + 0/1]
-    bits_ref,  # SMEM int32, packed like cand_ref — per-candidate
-    #            sub-block overlap bitmask
-    pack_hbm,  # [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1, 12-14 e0, 15 np0
-    t_out,  # [RT, 1] VMEM
-    i_out,  # [RT, 1] VMEM int32
-    b_out,  # [RT, 1] VMEM
-    g_out,  # [RT, 1] VMEM
-    stats_out,  # [8, 128] VMEM int32 block; [0, 0/1] = groups visited / clusters processed
-    pack_s,  # [2, 16, CS] VMEM scratch (double-buffered)
-    counters,  # SMEM (2,) int32 scratch
-    sem,  # DMA semaphores (2,)
-    *,
+    *refs,
+    # Ref layout (positional; shared middle block in both modes):
+    #   packed_io=True:
+    #     rays_ref [8, RT] VMEM (rows o0,o1,o2,d0,d1,d2,tmin,pad),
+    #     <shared>, out_ref [8, RT] VMEM f32 (rows t,tri,b,g — tri ids
+    #     are exact in f32 below 2^24), stats_out,
+    #     best_s [RT, 8] VMEM f32 scratch (running best t/tri/b/g),
+    #     pack_s, counters, sem
+    #   packed_io=False (legacy layout, RTS_KERNEL_PACKED_IO=0):
+    #     o_ref [RT, 3], d_ref [RT, 3], tmin_ref [RT, 1],
+    #     <shared>, t_out/i_out/b_out/g_out [RT, 1], stats_out,
+    #     pack_s, counters, sem
+    # <shared> =
+    #   mn_ref/mx_ref [Cp, 3] VMEM cluster bounds (padded to group_size),
+    #   gmn_ref/gmx_ref [G, 3] VMEM supercluster bounds,
+    #   smn_ref/smx_ref [S, 3] VMEM super²-cluster bounds,
+    #   sorder_ref SMEM int32 ROW-PACKED [ceil(S/128), 128] — supergroup
+    #     visit order (near-to-far); entry i at [i//128, i%128],
+    #   gorder_ref SMEM int32 row-packed like sorder — group visit order,
+    #     near-to-far WITHIN each supergroup (slot sg*super_size+j holds
+    #     the j-th nearest group of supergroup sg),
+    #   cand_ref SMEM int32 [ceil(tiles/tpr), tpr*K] — per-tile candidate
+    #     clusters, near-to-far; tile t's slot i lives at
+    #     [t//tpr, (t%tpr)*K + i] with tpr = max(1, 128//K).  SMEM rows
+    #     are lane-padded to 128 int32 (512 B) no matter the declared
+    #     width, so narrow per-tile rows would waste ~4x the 1 MB SMEM,
+    #   meta_ref SMEM int32 [ceil(tiles/64), 128] — per-tile (candidate
+    #     count, overflow flag) at [t//64, (t%64)*2 + 0/1],
+    #   bits_ref SMEM int32 packed like cand_ref — per-candidate
+    #     sub-block overlap bitmask,
+    #   pack_hbm [16, T] ANY: rows 0-2 n, 3-5 c1, 6-8 c0, 9-11 e1,
+    #     12-14 e0, 15 np0
+    # pack_s = [16, nbuf*CS] VMEM scratch (DMA pipeline), counters =
+    # SMEM (2,) int32, sem = DMA semaphores (nbuf,).
+    packed_io: bool,
     num_clusters: int,  # padded count Cp
     cluster_size: int,
     group_size: int,
@@ -219,9 +232,30 @@ def _mt_kernel(
     #                 one half-width window when the remainder fits —
     #                 trims the padded-duplicate columns of the last window
 ):
-    o = o_ref[:]
-    d = d_ref[:]
-    tmin = tmin_ref[:, 0]
+    (mn_ref, mx_ref, gmn_ref, gmx_ref, smn_ref, smx_ref,
+     sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, pack_hbm) = refs[1 if packed_io else 3 : 13 if packed_io else 15]
+    if packed_io:
+        rays_ref = refs[0]
+        (out_ref, stats_out, t_out, i_out, b_out, g_out,
+         pack_s, counters, sem) = refs[13:]
+        # one (8,RT)->(RT,8) in-register transpose bridges the lane-major
+        # HBM pack to the rays-on-sublanes MT evaluation layout; slicing
+        # happens on the transposed VALUE (lane-dim REF slices of width
+        # < 128 do not lower on Mosaic)
+        rpt = jnp.transpose(rays_ref[:, :])  # [RT, 8]
+        o = rpt[:, 0:3]
+        d = rpt[:, 3:6]
+        tmin = rpt[:, 6]
+        # running-best accumulators are four [RT, 1] VMEM scratches —
+        # the exact ref shape the legacy output blocks used (proven RMW
+        # pattern), minus their per-tile pipeline DMA
+    else:
+        o_ref, d_ref, tmin_ref = refs[0:3]
+        t_out, i_out, b_out, g_out, stats_out, pack_s, counters, sem = refs[15:]
+        o = o_ref[:]
+        d = d_ref[:]
+        tmin = tmin_ref[:, 0]
+    itype = jnp.float32 if packed_io else jnp.int32  # best-tri storage dtype
     if _KERNEL_FLOOR & 1:
         # floor bisect: vreg-constant stand-ins (values are garbage)
         z1 = jnp.zeros((o.shape[0], 1), o.dtype)
@@ -358,7 +392,7 @@ def _mt_kernel(
                     tri = jnp.where(j < (q + 1) * cs, c_list[q] * cs + (j - q * cs), tri)
                 better = tj < t_out[rows, 0]
                 t_out[rows, 0] = jnp.where(better, tj, t_out[rows, 0])
-                i_out[rows, 0] = jnp.where(better, tri, i_out[rows, 0])
+                i_out[rows, 0] = jnp.where(better, tri.astype(itype), i_out[rows, 0])
                 b_out[rows, 0] = jnp.where(better, beta_j, b_out[rows, 0])
                 g_out[rows, 0] = jnp.where(better, gamma_j, g_out[rows, 0])
 
@@ -580,6 +614,19 @@ def _mt_kernel(
             jnp.where((row == 0) & (lane == 1), counters[1], 0),
         )
 
+    if packed_io:
+        # Combine the four [RT, 1] best scratches into one [RT, 8] value
+        # (lane-select writes — concat/stack don't lower on Mosaic), then
+        # a single (RT,8)->(8,RT) transpose + ONE 16 KB block write
+        # replaces the four lane-padded [RT,1] output copies of the
+        # legacy layout.
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (rt, 8), 1)
+        val8 = jnp.where(lane8 == 0, t_out[:, 0:1], 0.0)
+        val8 = jnp.where(lane8 == 1, i_out[:, 0:1], val8)
+        val8 = jnp.where(lane8 == 2, b_out[:, 0:1], val8)
+        val8 = jnp.where(lane8 == 3, g_out[:, 0:1], val8)
+        out_ref[:, :] = jnp.transpose(val8.astype(jnp.float32))
+
 
 def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max,
                      cand_order="near", p1_fanout=None, p1_super_k=None,
@@ -612,52 +659,52 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     re-running a vector slab + scalar-sync ``any`` per sub-block.
     Candidates are sorted near-to-far by entry distance.
     """
-    l = origin.shape[0]
+    l = origin.shape[1]  # components-major [3, l]
     c = mn.shape[0]
     f32 = jnp.float32
-    o = origin.astype(f32)
+    o = origin.astype(f32)  # [3, l]
     d = direction.astype(f32)
-    alive = jnp.sum(d * d, axis=-1) > 0.0  # [l]
+    alive = (d[0] * d[0] + d[1] * d[1] + d[2] * d[2]) > 0.0  # [l]
     big = jnp.float32(_BIG)
     mnf = mn.astype(f32)
     mxf = mx.astype(f32)
     tiles = l // ray_tile
 
-    safe_d = jnp.where(d == 0.0, 1.0, d)
-    inv = 1.0 / safe_d  # [l, 3]
+    inv = 1.0 / jnp.where(d == 0.0, 1.0, d)  # [3, l]
     tmin_f = tmin.astype(f32)
 
     def batch_slab(bmn, bmx):
-        """Exact per-ray slab vs a box set: [l or (tiles,rt), B, 3] boxes.
+        """Exact per-ray slab vs a box set: [l or (tiles,rt), B] output.
 
-        Returns (overlap, tnear_or_inf) with the same leading shape.
-        Semantics identical to the kernel's _slab_overlap (d == 0 axes
-        constrain nothing when o is inside the slab, kill otherwise).
+        Rays arrive components-major ([3, l]); per-axis slices are [l]
+        (or [tiles, rt]), so no lane-padded [l, 3] operand ever
+        materialises.  Semantics identical to the kernel's _slab_overlap
+        (d == 0 axes constrain nothing when o is inside the slab, kill
+        otherwise).
         """
         if bmn.ndim == 2:  # [B, 3] shared box set
-            o_, d_, inv_, al_, tm_ = o, d, inv, alive, tmin_f
-            expand = lambda a, ax: a[:, None]
+            comp = lambda a, ax: a[ax]  # [l]
+            al_, tm_ = alive, tmin_f
+            expand = lambda a: a[:, None]
             bsel = lambda a, ax: a[None, :, ax]
-        else:  # [tiles, B, 3] per-tile box sets vs [tiles, rt, 3] rays
-            o_ = o.reshape(tiles, ray_tile, 3)
-            d_ = d.reshape(tiles, ray_tile, 3)
-            inv_ = inv.reshape(tiles, ray_tile, 3)
+        else:  # [tiles, B, 3] per-tile box sets vs per-tile ray blocks
+            comp = lambda a, ax: a[ax].reshape(tiles, ray_tile)
             al_ = alive.reshape(tiles, ray_tile)
             tm_ = tmin_f.reshape(tiles, ray_tile)
-            expand = lambda a, ax: a[..., None]
+            expand = lambda a: a[..., None]
             bsel = lambda a, ax: a[:, None, :, ax]
         shape = al_.shape + (bmn.shape[-2],)
         tn = jnp.full(shape, -big, f32)
         tf = jnp.full(shape, big, f32)
         for ax in range(3):
-            oa = expand(o_[..., ax], ax)
-            ia = expand(inv_[..., ax], ax)
+            oa = expand(comp(o, ax))
+            ia = expand(comp(inv, ax))
             t1 = (bsel(bmn, ax) - oa) * ia
             t2 = (bsel(bmx, ax) - oa) * ia
             lo = jnp.minimum(t1, t2)
             hi = jnp.maximum(t1, t2)
             inside = (oa >= bsel(bmn, ax)) & (oa <= bsel(bmx, ax))
-            dz = expand(d_[..., ax], ax) == 0.0
+            dz = expand(comp(d, ax)) == 0.0
             lo = jnp.where(dz, jnp.where(inside, -big, big), lo)
             hi = jnp.where(dz, jnp.where(inside, big, -big), hi)
             tn = jnp.maximum(tn, lo)
@@ -669,7 +716,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
             ok = box_ok[None, :]
         else:
             ok = box_ok[:, None, :]
-        ov = (tf >= tn) & (tf >= expand(tm_, 0)) & expand(al_, 0) & ok
+        ov = (tf >= tn) & (tf >= expand(tm_)) & expand(al_) & ok
         return ov, jnp.where(ov, jnp.maximum(tn, 0.0), jnp.float32(jnp.inf))
 
     # --- level 1: exact per-ray tests against SUPERGROUP boxes (runs of
@@ -871,11 +918,11 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components"),
 )
 def closest_hit_clustered(
-    origin,  # [L, 3]
-    direction,  # [L, 3]
+    origin,  # [L, 3] ([3, L] with components=True)
+    direction,  # [L, 3] ([3, L] with components=True)
     tmin,  # [L]
     tri_pack,  # [16, T] packed fields (pack_tri_fields), T = C * cluster_size
     aabb_mn,  # [C, 3]
@@ -898,14 +945,23 @@ def closest_hit_clustered(
     p1_super_k0: int | None = None,  # phase-1 admitted level-0 runs per tile (default _P1_SUPER_K0)
     interpret: bool = False,
     with_stats: bool = False,
+    components: bool = False,  # True: origin/direction are [3, L] (engine layout)
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32).
 
     With ``with_stats`` also returns an int32 [tiles, 2] array of
     (candidates/groups visited, clusters processed) per ray tile — the
     traversal workload counters used for culling-quality analysis.
+
+    ``components=True`` takes [3, L] components-major rays — the engine's
+    lane layout (core/vec.py dot3c rationale) — avoiding every [L, 3]
+    lane-padded materialisation on the way in.  Row-layout callers
+    (profilers, tests) are transposed at entry.
     """
-    l = origin.shape[0]
+    if not components:
+        origin = origin.T
+        direction = direction.T
+    l = origin.shape[1]
     t_total = tri_pack.shape[1]
     if t_total % cluster_size:
         raise ValueError(
@@ -978,8 +1034,8 @@ def closest_hit_clustered(
     l_pad = -(-l // rt) * rt
     if l_pad > l:
         pad = l_pad - l
-        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
-        direction = jnp.concatenate([direction, jnp.zeros((pad, 3), direction.dtype)])
+        origin = jnp.concatenate([origin, jnp.zeros((3, pad), origin.dtype)], axis=1)
+        direction = jnp.concatenate([direction, jnp.zeros((3, pad), direction.dtype)], axis=1)
         tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
 
     f32 = jnp.float32
@@ -1009,8 +1065,11 @@ def closest_hit_clustered(
                 f"candidates ({candidates}) must be a multiple of mt_group "
                 f"({mt_group})"
             )
+    # tri ids ride the packed f32 output row; exact only below 2^24
+    packed_io = _PACKED_IO and c_pad * cluster_size < 2**24
     kernel = partial(
-        _mt_kernel, num_clusters=c_pad, cluster_size=cluster_size,
+        _mt_kernel, packed_io=packed_io, num_clusters=c_pad,
+        cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
         k_max=candidates, mt_group=mt_group, mt_union=mt_union, mt_tail=mt_tail,
     )
@@ -1018,13 +1077,26 @@ def closest_hit_clustered(
     n_tiles = l_pad // rt
     ray_spec = pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tmin_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rays8_spec = pl.BlockSpec((8, rt), lambda i: (0, i), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out8_spec = pl.BlockSpec((8, rt), lambda i: (0, i), memory_space=pltpu.VMEM)
     stats_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    o32 = origin.astype(f32)
-    d32 = direction.astype(f32)
-    tm32 = tmin.astype(f32)[:, None]
+    if packed_io:
+        # ONE lane-major [8, lp] ray pack: rows o0,o1,o2,d0,d1,d2,tmin,pad.
+        # 16 KB per grid-step DMA vs ~1.8 MB for the lane-padded legacy
+        # blocks (see _PACKED_IO above / docs/PERF.md r3q).  Inputs are
+        # already components-major, so this is a zero-transpose concat.
+        rays8 = jnp.concatenate(
+            [origin.astype(f32), direction.astype(f32),
+             tmin.astype(f32)[None, :], jnp.zeros((1, l_pad), f32)], axis=0,
+        )
+        o32 = d32 = tm32 = None
+    else:
+        o32 = origin.T.astype(f32)
+        d32 = direction.T.astype(f32)
+        tm32 = tmin.astype(f32)[:, None]
     shared = (
         aabb_mn.astype(f32),
         aabb_mx.astype(f32),
@@ -1036,47 +1108,64 @@ def closest_hit_clustered(
         _pack_smem_rows(g_order),
     )
 
-    def run(o_c, d_c, tm_c, cand_c, meta_c, bits_c):
-        tiles_c = o_c.shape[0] // rt
+    shared_specs = [
+        full(),
+        full(),
+        full(),
+        full(),
+        full(),
+        full(),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    dma_scratch = [
+        pltpu.VMEM((16, _dma_depth(candidates, mt_group) * cluster_size), f32),
+        pltpu.SMEM((2,), jnp.int32),
+        pltpu.SemaphoreType.DMA((_dma_depth(candidates, mt_group),)),
+    ]
+
+    def run(rays_c, cand_c, meta_c, bits_c):
+        # rays_c: [8, lanes] pack (packed_io) or (o, d, tmin[:, None]) tuple
+        lanes_c = rays_c.shape[1] if packed_io else rays_c[0].shape[0]
+        tiles_c = lanes_c // rt
         cand_c = _pack_smem_rows(cand_c)
         meta_c = _pack_smem_rows(meta_c)
         bits_c = _pack_smem_rows(bits_c)
+        if packed_io:
+            out_shape = [
+                jax.ShapeDtypeStruct((8, lanes_c), f32),
+                jax.ShapeDtypeStruct((tiles_c * 8, 128), jnp.int32),
+            ]
+            return pl.pallas_call(
+                kernel,
+                grid=(tiles_c,),
+                out_shape=out_shape,
+                in_specs=[rays8_spec] + shared_specs,
+                out_specs=[out8_spec, stats_spec],
+                scratch_shapes=[pltpu.VMEM((rt, 1), f32) for _ in range(4)]
+                + dma_scratch,
+                interpret=interpret,
+            )(rays_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
         out_shape = [
-            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
-            jax.ShapeDtypeStruct((o_c.shape[0], 1), jnp.int32),
-            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
-            jax.ShapeDtypeStruct((o_c.shape[0], 1), f32),
+            jax.ShapeDtypeStruct((lanes_c, 1), f32),
+            jax.ShapeDtypeStruct((lanes_c, 1), jnp.int32),
+            jax.ShapeDtypeStruct((lanes_c, 1), f32),
+            jax.ShapeDtypeStruct((lanes_c, 1), f32),
             jax.ShapeDtypeStruct((tiles_c * 8, 128), jnp.int32),
         ]
         return pl.pallas_call(
             kernel,
             grid=(tiles_c,),
             out_shape=out_shape,
-            in_specs=[
-                ray_spec,
-                ray_spec,
-                tmin_spec,
-                full(),
-                full(),
-                full(),
-                full(),
-                full(),
-                full(),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[ray_spec, ray_spec, tmin_spec] + shared_specs,
             out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
-            scratch_shapes=[
-                pltpu.VMEM((16, _dma_depth(candidates, mt_group) * cluster_size), f32),
-                pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA((_dma_depth(candidates, mt_group),)),
-            ],
+            scratch_shapes=dma_scratch,
             interpret=interpret,
-        )(o_c, d_c, tm_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
+        )(*rays_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
 
     # The row-packed candidate/meta/bits lists live in SMEM; chunk the
     # grid so very large fans (thousands of tiles) never exceed the
@@ -1090,29 +1179,45 @@ def closest_hit_clustered(
         parts = []
         for s0 in range(0, n_tiles, max_tiles):
             s1 = min(s0 + max_tiles, n_tiles)
-            parts.append(
-                run(
+            rays_c = (
+                rays8[:, s0 * rt : s1 * rt]
+                if packed_io
+                else (
                     o32[s0 * rt : s1 * rt],
                     d32[s0 * rt : s1 * rt],
                     tm32[s0 * rt : s1 * rt],
-                    cand[s0:s1],
-                    meta[s0:s1],
-                    bits[s0:s1],
                 )
             )
-        best_t, best_i, best_b, best_g, stats = (
-            jnp.concatenate([p[i] for p in parts], axis=0) for i in range(5)
-        )
+            parts.append(run(rays_c, cand[s0:s1], meta[s0:s1], bits[s0:s1]))
+        if packed_io:
+            out8 = jnp.concatenate([p[0] for p in parts], axis=1)
+            stats = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            best_t, best_i, best_b, best_g, stats = (
+                jnp.concatenate([p[i] for p in parts], axis=0) for i in range(5)
+            )
     else:
-        best_t, best_i, best_b, best_g, stats = run(o32, d32, tm32, cand, meta, bits)
+        rays_c = rays8 if packed_io else (o32, d32, tm32)
+        if packed_io:
+            out8, stats = run(rays_c, cand, meta, bits)
+        else:
+            best_t, best_i, best_b, best_g, stats = run(rays_c, cand, meta, bits)
 
-    best_t = best_t[:l, 0]
+    if packed_io:
+        best_t = out8[0, :l]
+        # exact: tri ids < 2^24 round-trip f32 losslessly (guard above)
+        best_tri = out8[1, :l].astype(jnp.int32)
+        best_b, best_g = out8[2, :l], out8[3, :l]
+    else:
+        best_t = best_t[:l, 0]
+        best_tri = best_i[:l, 0]
+        best_b, best_g = best_b[:l, 0], best_g[:l, 0]
     found = best_t < RT_DEFAULT_MAX
     hit = HitResult(
         t=jnp.where(found, best_t, jnp.inf).astype(origin.dtype),
-        tri=best_i[:l, 0],
-        beta=best_b[:l, 0].astype(origin.dtype),
-        gamma=best_g[:l, 0].astype(origin.dtype),
+        tri=best_tri,
+        beta=best_b.astype(origin.dtype),
+        gamma=best_g.astype(origin.dtype),
         found=found,
     )
     if with_stats:

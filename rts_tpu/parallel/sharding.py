@@ -54,16 +54,18 @@ def shard_batch(batch: PulseBatch, mesh: Mesh) -> PulseBatch:
 def _regather_lanes(x, slot_mult: int, f_local: int):
     """all_gather fan shards and restore the global slot-major layout.
 
-    Local lanes are ordered ``slot*F + f``; gathering k shards tiled gives
-    shard-major ``k*(slot_mult*F) + slot*F + f`` — transpose to the global
+    Lanes are the LAST axis of every leaf (engine layout).  Local lanes
+    are ordered ``slot*F + f``; gathering k shards gives shard-major
+    ``k*(slot_mult*F) + slot*F + f`` — transpose to the global
     ``slot*(k*F) + k*F_block + f`` order (ray_tracer.cpp:626 layout).
     """
-    g = jax.lax.all_gather(x, "ray", axis=0, tiled=False)  # [k, slot_mult*F, ...]
-    k = g.shape[0]
-    tail = g.shape[2:]
-    g = g.reshape((k, slot_mult, f_local) + tail)
-    g = jnp.swapaxes(g, 0, 1)
-    return g.reshape((slot_mult * k * f_local,) + tail)
+    ax = x.ndim - 1
+    g = jax.lax.all_gather(x, "ray", axis=ax, tiled=False)  # [..., k, slot_mult*F]
+    k = g.shape[ax]
+    head = g.shape[:ax]
+    g = g.reshape(head + (k, slot_mult, f_local))
+    g = jnp.swapaxes(g, ax, ax + 1)
+    return g.reshape(head + (slot_mult * k * f_local,))
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "mesh"))

@@ -21,8 +21,9 @@ from rts_tpu.engine.wavefront import TraceResult
 
 
 def _azel(v):
-    az = jnp.arctan2(v[..., 1], v[..., 0])
-    el = jnp.arctan2(v[..., 2], jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2))
+    # components-major [3, R] vectors (lanes-last engine layout)
+    az = jnp.arctan2(v[1], v[0])
+    el = jnp.arctan2(v[2], jnp.sqrt(v[0] ** 2 + v[1] ** 2))
     return az, el
 
 
@@ -45,31 +46,32 @@ def postprocess(
     num_rx = rx_positions.shape[0] if hasattr(rx_positions, "shape") else len(rx_positions)
     rxi = jnp.clip(res.received, 0, max(num_rx - 1, 0))
     if num_rx:
-        # one-hot contraction — tiny-operand many-index gathers are slow on TPU
-        oh = (rxi[:, None] == jnp.arange(num_rx, dtype=jnp.int32)[None, :]).astype(res.power.dtype)
-        repos = oh @ jnp.asarray(rx_positions, res.power.dtype)
+        # one-hot contraction — tiny-operand many-index gathers are slow
+        # on TPU; lanes-last: [3, NR] @ [NR, R] -> [3, R]
+        oh = (jnp.arange(num_rx, dtype=jnp.int32)[:, None] == rxi[None, :]).astype(res.power.dtype)
+        repos = jnp.asarray(rx_positions, res.power.dtype).T @ oh
     else:
         repos = jnp.zeros_like(res.first_hit)
 
     wavelength = cspeed / carrier
     direct = (res.refl_depth == 0) & (res.refr_depth == 0)
-    tx_origin = jnp.asarray(tx_origin)
+    tx_origin = jnp.asarray(tx_origin)[:, None]  # [3, 1]
 
     transvec = jnp.where(
-        direct[:, None], tx_origin - repos, res.first_hit - tx_origin
+        direct, tx_origin - repos, res.first_hit - tx_origin
     )
-    recvvec = jnp.where(direct[:, None], repos - tx_origin, res.prev_hit - repos)
+    recvvec = jnp.where(direct, repos - tx_origin, res.prev_hit - repos)
     t_az, t_el = _azel(transvec)
     r_az, r_el = _azel(recvvec)
 
     delay = res.ray_length / cspeed
     power = res.power
 
-    # per-bounce RCS (ray_tracer.cpp:1219-1230)
+    # per-bounce RCS (ray_tracer.cpp:1219-1230); rcs is [2, D, R]
     for t_idx, model in enumerate(rcs_models):
-        vals = model.rcs(res.rcs[..., 0], res.rcs[..., 1], wavelength)  # [R, D]
+        vals = model.rcs(res.rcs[0], res.rcs[1], wavelength)  # [D, R]
         factor = jnp.where(res.path == t_idx, vals, 1.0)
-        power = power * jnp.prod(factor, axis=1)
+        power = power * jnp.prod(factor, axis=0)
 
     # antenna gains (ray_tracer.cpp:1232-1247)
     gt = tx_gain.gain(t_az, t_el, tx_rotation[0], tx_rotation[1], wavelength)

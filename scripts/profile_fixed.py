@@ -47,7 +47,7 @@ from rts_tpu.ops.cluster_trace import _tile_candidates
 
 sc0 = animate_packed(base, batch.rot[0], batch.pos[0], batch.vel[0], cfg.cluster_size)
 fan0 = generate_fan(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec.kwargs()["tx_span"])
-s0 = _init_state(cfg, batch.tx_origin[0], fan0, jnp.float32)
+s0 = _init_state(cfg, batch.tx_origin[0], fan0.T, jnp.float32)  # [3, F] engine layout
 l = fan0.shape[0]
 rt = cfg.ray_tile
 lp = -(-l // rt) * rt
@@ -58,7 +58,7 @@ def pad(a):
     return jnp.concatenate([a, jnp.zeros((p,) + a.shape[1:], a.dtype)]) if p else a
 
 
-o_live, d_live, tm_live = pad(s0.origin), pad(s0.direction), pad(s0.tmin)
+o_live, d_live, tm_live = pad(s0.origin.T), pad(s0.direction.T), pad(s0.tmin)
 d_dead = jnp.zeros_like(d_live)
 
 
@@ -80,7 +80,7 @@ def p1_only(d_in):
     def f():
         def g(i):
             cand, meta, bits = _tile_candidates(
-                o_live, d_in, tm_live + i * 1e-12, sc0.aabb_mn, sc0.aabb_mx,
+                o_live.T, d_in.T, tm_live + i * 1e-12, sc0.aabb_mn, sc0.aabb_mx,
                 rt, cfg.sub_tiles, cfg.candidates, cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout, p1_super_k=cfg.p1_super_k,
                 p1_fanout0=cfg.p1_fanout0, p1_super_k0=cfg.p1_super_k0,

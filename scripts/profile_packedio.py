@@ -1,16 +1,15 @@
-"""Bisect the ~6 us/tile dead-input kernel floor (docs/PERF.md r3m:
-~12 ns/ray, scales with rows not grid steps) by DELETING kernel stages
-via cluster_trace._KERNEL_FLOOR bits and timing the kernel on a dead
-input (all directions zero -> zero candidates, zero DMAs, zero MT
-windows).  Output values are garbage under nonzero masks — timing only.
+"""Measure the packed-I/O kernel (RTS_KERNEL_PACKED_IO) on hardware.
 
-  bit 0 (1): hoisted per-tile component math -> vreg constants
-  bit 1 (2): skip t/i/b/g output init fills
-  bit 2 (4): skip the stats_out tail write
-  bit 3 (8): skip the candidate/sweep dispatch (loops + drain)
+The r3q dead-floor bisect proved the ~6 us/tile kernel row floor is the
+pipeline DMA of the lane-padded legacy I/O blocks (deleting the whole
+kernel body moved nothing — scripts/profile_kfloor.py).  Packed mode
+feeds one [8, lp] ray pack and writes one [8, lp] output (2 block
+copies / ~32 KB per tile instead of 7 / ~1.8 MB).  This times the live
+seg-1 kernel and the dead-input floor under the CURRENT module default
+(set RTS_KERNEL_PACKED_IO=0/1 in the environment to A/B).
 
-Also times the LIVE seg-1 input at mask 0 and mask 1|2|4 (live deltas
-say whether a stage matters when real work hides it).
+Reference (unpacked, r3q, P=8, incl. ~6.4 us/tile dispatch):
+  DEAD 14.6-14.9 us/tile, LIVE 31.9 us/tile.
 
 Run alone (the axon tunnel serialises TPU processes).
 """
@@ -52,12 +51,19 @@ from rts_tpu.engine.fan import generate_fan
 from rts_tpu.engine.wavefront import _init_state
 from rts_tpu.ops import closest_hit_clustered
 
+print(f"# _PACKED_IO = {ct._PACKED_IO}", flush=True)
+
 sc0 = animate_packed(base, batch.rot[0], batch.pos[0], batch.vel[0], cfg.cluster_size)
 fan0 = generate_fan(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec.kwargs()["tx_span"])
-s0 = _init_state(cfg, batch.tx_origin[0], fan0.T, jnp.float32)  # [3, F] engine layout
+from rts_tpu.engine.fan import generate_fan_c
+
+s0 = _init_state(cfg, batch.tx_origin[0],
+                 generate_fan_c(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]),
+                                spec.kwargs()["tx_span"]), jnp.float32)
 l = fan0.shape[0]
 rt = cfg.ray_tile
 lp = -(-l // rt) * rt
+tiles = lp // rt
 
 
 def pad(a):
@@ -65,9 +71,11 @@ def pad(a):
     return jnp.concatenate([a, jnp.zeros((p,) + a.shape[1:], a.dtype)]) if p else a
 
 
+# engine state is components-major [3, L]; the kernel entry takes row
+# layout by default, so transpose here (the engine path passes
+# components=True and skips this)
 o_in, d_live, tm_in = pad(s0.origin.T), pad(s0.direction.T), pad(s0.tmin)
 d_dead = jnp.zeros_like(d_live)
-tiles = lp // rt
 
 
 def kernel(d_in):
@@ -82,7 +90,6 @@ def kernel(d_in):
                 sub_tiles=cfg.sub_tiles, candidates=cfg.candidates,
                 mt_group=cfg.mt_group,
             )
-            # nan-safe consumption (garbage outputs under floor masks)
             tot = jnp.float32(0)
             for a in (h.t, h.beta, h.gamma):
                 tot = tot + jnp.sum(jnp.where(jnp.isfinite(a), a, 0.0))
@@ -100,28 +107,11 @@ def timed(name, fn, n=3):
         out = fn()
         float(jnp.sum(out))
         best = min(best, time.perf_counter() - t0)
-    us_tile = best / P * 1e6 / tiles
-    print(f"{name}: {best / P * 1000:.2f} ms/pulse = {us_tile:.2f} us/tile",
+    print(f"{name}: {best / P * 1000:.2f} ms/pulse = {best / P * 1e6 / tiles:.2f} us/tile",
           flush=True)
     return best / P
 
 
-rows = {}
-for mask in (0, 1, 2, 4, 8, 3, 7, 15):
-    ct._KERNEL_FLOOR = mask
-    rows[mask] = timed(f"DEAD mask={mask:2d}", kernel(d_dead))
-
-ct._KERNEL_FLOOR = 0
-live0 = timed("LIVE mask= 0", kernel(d_live))
-ct._KERNEL_FLOOR = 7
-live7 = timed("LIVE mask= 7 (math+init+stats off)", kernel(d_live))
-ct._KERNEL_FLOOR = 0
-
-print(f"# deltas vs mask0 (us/tile): math {((rows[0] - rows[1]) * 1e6 / tiles):.2f}, "
-      f"init {((rows[0] - rows[2]) * 1e6 / tiles):.2f}, "
-      f"stats {((rows[0] - rows[4]) * 1e6 / tiles):.2f}, "
-      f"dispatch {((rows[0] - rows[8]) * 1e6 / tiles):.2f}, "
-      f"all-but-dispatch {((rows[0] - rows[7]) * 1e6 / tiles):.2f}, "
-      f"everything {((rows[0] - rows[15]) * 1e6 / tiles):.2f}")
-print(f"# LIVE delta for math+init+stats: {(live0 - live7) * 1000:.2f} ms/pulse")
-print("KFLOOR DONE")
+live = timed("LIVE seg-1", kernel(d_live))
+dead = timed("DEAD input", kernel(d_dead))
+print("PACKEDIO DONE", flush=True)

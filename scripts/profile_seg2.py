@@ -173,7 +173,7 @@ def p1_stats(tag, origin, direction, tmin):
           f"DMA bytes/tile {n.mean() * 16 * args.cluster_size * 4 / 1024:.0f} KB")
 
 
-s0 = _init_state(cfg, batch.tx_origin[0], fan0, jnp.float32)
+s0 = _init_state(cfg, batch.tx_origin[0], fan0.T, jnp.float32)  # [3, F] engine layout
 s1, b1 = seg_body(s0, mk_bufs())
 live0 = jnp.where(s0.active[:, None], s0.direction, 0.0)
 live1 = jnp.where(s1.active[:, None], s1.direction, 0.0)

@@ -40,7 +40,7 @@ def test_matches_oracle_random_cases():
             jnp.asarray(received, jnp.int32),
             jnp.asarray(refl, jnp.int32),
             jnp.asarray(refr, jnp.int32),
-            jnp.asarray(path, jnp.int32),
+            jnp.asarray(path, jnp.int32).T,  # engine layout: [D, R]
             jnp.asarray(power),
             jnp.asarray(ray_length),
             jnp.asarray(doppler),
@@ -81,7 +81,7 @@ def test_identical_paths_combine_coherently():
     power = jnp.asarray([4.0, 9.0, 16.0])
     ray_length = jnp.asarray([3e3, 3e3, 3e3])
     doppler = jnp.asarray([100.0, 200.0, 300.0])
-    out = aggregate_lanes(received, refl, refr, path, power, ray_length, doppler, 1, C, CARRIER)
+    out = aggregate_lanes(received, refl, refr, path.T, power, ray_length, doppler, 1, C, CARRIER)
     v_mean = (2.0 + 3.0 + 4.0) / 3.0
     np.testing.assert_allclose(np.asarray(out.power), v_mean**2)
     np.testing.assert_allclose(np.asarray(out.npath), 3.0)
@@ -96,7 +96,7 @@ def test_different_receivers_do_not_combine():
     path = jnp.asarray([[0], [0]], jnp.int32)
     power = jnp.asarray([4.0, 9.0])
     out = aggregate_lanes(
-        received, refl, refr, path, power, jnp.asarray([1e3, 1e3]),
+        received, refl, refr, path.T, power, jnp.asarray([1e3, 1e3]),
         jnp.zeros(2), 2, C, CARRIER,
     )
     np.testing.assert_allclose(np.asarray(out.npath), [1.0, 1.0])
@@ -113,7 +113,7 @@ def test_direct_ray_matches_everything_at_receiver():
     path = jnp.asarray([[0, -1], [-1, -1], [0, 1]], jnp.int32)
     power = jnp.asarray([1.0, 4.0, 9.0])
     out = aggregate_lanes(
-        received, refl, refr, path, power, jnp.asarray([1e3, 2e3, 3e3]),
+        received, refl, refr, path.T, power, jnp.asarray([1e3, 2e3, 3e3]),
         jnp.zeros(3), 1, C, CARRIER,
     )
     np.testing.assert_allclose(np.asarray(out.npath), [1.0, 3.0, 1.0])
@@ -132,7 +132,7 @@ def test_dense_path_matches_sort_and_oracle():
             jnp.asarray(received, jnp.int32),
             jnp.asarray(refl, jnp.int32),
             jnp.asarray(refr, jnp.int32),
-            jnp.asarray(path, jnp.int32),
+            jnp.asarray(path, jnp.int32).T,  # engine layout: [D, R]
             jnp.asarray(power),
             jnp.asarray(ray_length),
             jnp.asarray(doppler),
@@ -176,7 +176,7 @@ def test_compact_cap_matches_full():
     doppler = rng.standard_normal(r)
     args = (
         jnp.asarray(received, jnp.int32), jnp.asarray(refl, jnp.int32),
-        jnp.asarray(refr, jnp.int32), jnp.asarray(path, jnp.int32),
+        jnp.asarray(refr, jnp.int32), jnp.asarray(path, jnp.int32).T,
         jnp.asarray(power), jnp.asarray(ray_length), jnp.asarray(doppler),
     )
     for nt in (3, 0):  # dense and sort lowering

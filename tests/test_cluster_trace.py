@@ -278,7 +278,7 @@ def test_tile_candidates_match_exact_union():
     tmin = np.full(l, 0.005, np.float32)
     o, d, tmin = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin)
 
-    cand, meta, bits = _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c)
+    cand, meta, bits = _tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=c)
     cand, meta, bits = np.asarray(cand), np.asarray(meta), np.asarray(bits)
     assert (meta[:, 1] == 0).all()  # k_max = c can never overflow
 
@@ -306,7 +306,7 @@ def test_tile_candidates_match_exact_union():
     # count slots, same (cluster -> bits) association, masks grouped
     cand_m, meta_m, bits_m = (
         np.asarray(a)
-        for a in _tile_candidates(o, d, tmin, mn, mx, rt, st, k_max=c, cand_order="mask")
+        for a in _tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=c, cand_order="mask")
     )
     np.testing.assert_array_equal(meta_m, meta)
     for t in range(l // rt):
@@ -339,33 +339,28 @@ def test_p1_level0_identical(monkeypatch):
     o, d = jnp.asarray(o), jnp.asarray(d)
 
     # fanout=2 -> S=48 supergroups; dense path (threshold above S)
-    dense = [np.asarray(a) for a in CT._tile_candidates(
-        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    dense = [np.asarray(a) for a in CT._tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
     # force level 0 on (f0=8 -> S0=6, K0 covers all: no overflow)
     monkeypatch.setattr(CT, "_P1_L0_MIN_S", 8)
-    lvl0 = [np.asarray(a) for a in CT._tile_candidates(
-        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    lvl0 = [np.asarray(a) for a in CT._tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
     for a, b, nm in zip(lvl0, dense, ("cand", "meta", "bits")):
         np.testing.assert_array_equal(a, b, err_msg=nm)
     assert dense[1][:, 0].max() > 2  # non-trivial lists
 
     # the per-call level-0 knobs must match the module constants they
     # override (p1_fanout0/p1_super_k0 = the defaults -> identical lists)
-    kw0 = [np.asarray(a) for a in CT._tile_candidates(
-        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
+    kw0 = [np.asarray(a) for a in CT._tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
         p1_fanout0=CT._P1_FANOUT0, p1_super_k0=CT._P1_SUPER_K0)]
     for a, b, nm in zip(kw0, lvl0, ("cand", "meta", "bits")):
         np.testing.assert_array_equal(a, b, err_msg=f"kwargs {nm}")
 
     # tiny K0 forces level-0 overflow: flagged, never silently wrong
     # (via the per-call knob and via the module constant)
-    overk = [np.asarray(a) for a in CT._tile_candidates(
-        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
+    overk = [np.asarray(a) for a in CT._tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48,
         p1_super_k0=1)]
     assert overk[1][:, 1].any()
     monkeypatch.setattr(CT, "_P1_SUPER_K0", 1)
-    over = [np.asarray(a) for a in CT._tile_candidates(
-        o, d, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
+    over = [np.asarray(a) for a in CT._tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=64, p1_fanout=2, p1_super_k=48)]
     assert over[1][:, 1].any()  # overflow flag set somewhere
     np.testing.assert_array_equal(overk[1], over[1])
 
@@ -489,7 +484,7 @@ def test_supergroup_overflow_flags_tiles():
     d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (l, 1))
     tmin = np.full(l, 0.005, np.float32)
     cand, meta, _bits = _tile_candidates(
-        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin),
+        jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
     meta = np.asarray(meta)
@@ -499,7 +494,7 @@ def test_supergroup_overflow_flags_tiles():
     d2 = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (l, 1))
     o2 = np.tile(np.asarray([[2.0, -5.0, 0.0]], np.float32), (l, 1))
     cand2, meta2, _b2 = _tile_candidates(
-        jnp.asarray(o2), jnp.asarray(d2), jnp.asarray(tmin),
+        jnp.asarray(o2.T), jnp.asarray(d2.T), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
     cand2, meta2 = np.asarray(cand2), np.asarray(meta2)

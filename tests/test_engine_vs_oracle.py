@@ -42,18 +42,21 @@ def run_both(scene, params, tx_origin, tx_dir, tx_span, rx, strict=False):
 
 
 def assert_match(o, e, *, check_rcs=True):
+    # The engine keeps lanes on the LAST axis of every leaf ([3, R]
+    # vectors, [D, R] path, [2, D, R] rcs); the oracle speaks the
+    # reference's row layout — transpose engine outputs for comparison.
     np.testing.assert_array_equal(np.asarray(e.received), o.received, err_msg="received")
     np.testing.assert_array_equal(np.asarray(e.refl_depth), o.refl_depth, err_msg="refl_depth")
     np.testing.assert_array_equal(np.asarray(e.refr_depth), o.refr_depth, err_msg="refr_depth")
-    np.testing.assert_array_equal(np.asarray(e.path), o.path, err_msg="path")
+    np.testing.assert_array_equal(np.asarray(e.path).T, o.path, err_msg="path")
     np.testing.assert_allclose(np.asarray(e.ray_length), o.ray_length, rtol=RTOL, atol=1e-9, err_msg="ray_length")
     np.testing.assert_allclose(np.asarray(e.power), o.power, rtol=RTOL, atol=1e-300, err_msg="power")
     np.testing.assert_allclose(np.asarray(e.doppler), o.doppler, rtol=RTOL, atol=1e-9, err_msg="doppler")
-    np.testing.assert_allclose(np.asarray(e.first_hit), o.first_hit, rtol=RTOL, atol=1e-9, err_msg="first_hit")
-    np.testing.assert_allclose(np.asarray(e.prev_hit), o.prev_hit, rtol=RTOL, atol=1e-9, err_msg="prev_hit")
+    np.testing.assert_allclose(np.asarray(e.first_hit).T, o.first_hit, rtol=RTOL, atol=1e-9, err_msg="first_hit")
+    np.testing.assert_allclose(np.asarray(e.prev_hit).T, o.prev_hit, rtol=RTOL, atol=1e-9, err_msg="prev_hit")
     if check_rcs:
         np.testing.assert_allclose(
-            np.asarray(e.rcs), o.rcs_angle, rtol=RTOL, atol=1e-9, err_msg="rcs"
+            np.transpose(np.asarray(e.rcs), (2, 1, 0)), o.rcs_angle, rtol=RTOL, atol=1e-9, err_msg="rcs"
         )
 
 
@@ -207,7 +210,7 @@ class TestStrictParity:
             monostatic_rx(radius=20.0), strict=True,
         )
         np.testing.assert_array_equal(np.asarray(e.received), o.received)
-        np.testing.assert_array_equal(np.asarray(e.path), o.path)
+        np.testing.assert_array_equal(np.asarray(e.path).T, o.path)
         got = o.received >= 0
         np.testing.assert_allclose(
             np.asarray(e.ray_length)[got], o.ray_length[got], rtol=5e-6

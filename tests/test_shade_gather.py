@@ -65,8 +65,8 @@ class TestWindowGatherUnit:
             ray_tile = rt
             cluster_size = cs
 
-        out = gather_shade(table, tri, _Cfg())
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(table)[np.asarray(tri)])
+        out = gather_shade(table, tri, _Cfg())  # [F, L] lanes-last
+        np.testing.assert_array_equal(np.asarray(out).T, np.asarray(table)[np.asarray(tri)])
 
 
 class TestWindowGatherEndToEnd:
