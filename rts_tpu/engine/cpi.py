@@ -99,19 +99,54 @@ def make_pulse_fn(
                 tx_origin=tx_origin, tx_span=tx_span,
                 fan_block=block, fan_offset=offset,
             )
-        power, doppler, delay = postprocess(
-            res,
-            tx_origin=tx_origin,
-            rx_positions=rx_pos,
-            rcs_models=rcs_models,
-            tx_gain=tx_gain,
-            rx_gains=rx_gains,
-            tx_rotation=(tx_dir[0], tx_dir[1]),
-            rx_rotation_fns=rx_rotation_fns,
-            time_t=time_t,
-            carrier=carrier,
-            cspeed=cspeed,
-        )
+
+        def post(sub):
+            return postprocess(
+                sub,
+                tx_origin=tx_origin,
+                rx_positions=rx_pos,
+                rcs_models=rcs_models,
+                tx_gain=tx_gain,
+                rx_gains=rx_gains,
+                tx_rotation=(tx_dir[0], tx_dir[1]),
+                rx_rotation_fns=rx_rotation_fns,
+                time_t=time_t,
+                carrier=carrier,
+                cspeed=cspeed,
+            )
+
+        total = res.received.shape[0]
+        cap = min(cfg.agg_cap, total) if cfg.agg_cap else 0
+        if cap and cap < total:
+            # Postprocess is purely per-lane and only changes RECEIVED
+            # lanes (valid-gated), yet gains/RCS/atan2 ran over the full
+            # fan (~250k lanes for typically a few thousand received) —
+            # gather the received lanes to a cap block (the stable
+            # argsort CSEs with replay_refine's and aggregate_lanes'),
+            # postprocess there, scatter back onto the exact passthrough
+            # defaults the full path produces for non-received lanes.
+            # BIT-identical per lane; a lax.cond falls back to the full
+            # pass when more than cap lanes were received.
+            count = jnp.sum((res.received >= 0).astype(jnp.int32))
+            order = jnp.argsort(res.received < 0)  # received first (stable)
+            idx = order[:cap].astype(jnp.int32)
+
+            def capped(_):
+                sub = jax.tree.map(lambda a: a[..., idx], res)
+                pw_c, dp_c, _dl_c = post(sub)
+                return (
+                    res.power.at[idx].set(pw_c),
+                    res.doppler.at[idx].set(dp_c),
+                )
+
+            def full(_):
+                pw_f, dp_f, _dl_f = post(res)
+                return pw_f, dp_f
+
+            power, doppler = jax.lax.cond(count <= cap, capped, full, 0)
+            delay = res.ray_length / cspeed
+        else:
+            power, doppler, delay = post(res)
         return res, power, doppler, delay
 
     def aggregate(res, power, doppler, delay):

@@ -199,3 +199,30 @@ def test_large_cpi_prep_vectorized():
     assert rec.shape[0] == 4096
     # pulse geometry must actually vary across the CPI (moving/rotating)
     assert not np.allclose(np.asarray(batch.pos[0]), np.asarray(batch.pos[-1]))
+
+
+def test_postprocess_compaction_bit_identical():
+    """The received-lane postprocess compaction (engine/cpi.py one_pulse:
+    gains/RCS/atan2 evaluated on an agg_cap block instead of the full
+    fan) is purely per-lane, so capped and full paths must be
+    BIT-identical — including the count > cap lax.cond fallback."""
+    from rts_tpu.engine.cpi import trace_cpi
+    from rts_tpu.sim import prepare_cpi
+
+    w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+    params = Parameters(num_rays=3, max_refl_depth=2)
+    outs = {}
+    for cap in (0, 4096, 2):  # full, capped, forced-overflow fallback
+        base, batch, cfg, spec = prepare_cpi(
+            w, params, dtype=jnp.float32, agg_cap=cap
+        )
+        outs[cap] = trace_cpi(base, batch, cfg, spec)
+    got = np.asarray(outs[0].received) >= 0
+    assert got.sum() > 2  # the cap=2 case must actually overflow
+    for cap in (4096, 2):
+        for name in ("power", "doppler", "delay", "received"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs[cap], name)),
+                np.asarray(getattr(outs[0], name)),
+                err_msg=f"cap={cap}: {name}",
+            )
