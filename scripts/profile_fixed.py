@@ -53,12 +53,12 @@ rt = cfg.ray_tile
 lp = -(-l // rt) * rt
 
 
-def pad(a):
-    p = lp - a.shape[0]
-    return jnp.concatenate([a, jnp.zeros((p,) + a.shape[1:], a.dtype)]) if p else a
+def pad(a):  # lanes-last pad (components engine layout end-to-end)
+    p = lp - a.shape[-1]
+    return jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (p,), a.dtype)], axis=-1) if p else a
 
 
-o_live, d_live, tm_live = pad(s0.origin.T), pad(s0.direction.T), pad(s0.tmin)
+o_live, d_live, tm_live = pad(s0.origin), pad(s0.direction), pad(s0.tmin)
 d_dead = jnp.zeros_like(d_live)
 
 
@@ -80,7 +80,7 @@ def p1_only(d_in):
     def f():
         def g(i):
             cand, meta, bits = _tile_candidates(
-                o_live.T, d_in.T, tm_live + i * 1e-12, sc0.aabb_mn, sc0.aabb_mx,
+                o_live, d_in, tm_live + i * 1e-12, sc0.aabb_mn, sc0.aabb_mx,
                 rt, cfg.sub_tiles, cfg.candidates, cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout, p1_super_k=cfg.p1_super_k,
                 p1_fanout0=cfg.p1_fanout0, p1_super_k0=cfg.p1_super_k0,
@@ -100,7 +100,7 @@ def kernel_full(d_in):
                 cluster_size=cfg.cluster_size, ray_tile=rt,
                 group_size=cfg.group_size, super_size=cfg.super_size,
                 sub_tiles=cfg.sub_tiles, candidates=cfg.candidates,
-                mt_group=cfg.mt_group,
+                mt_group=cfg.mt_group, components=True,
             )
             return jnp.sum(h.t) + jnp.sum(h.tri) + jnp.sum(h.beta) + jnp.sum(h.gamma)
         return jax.lax.map(g, jnp.arange(P, dtype=jnp.float32))

@@ -67,12 +67,13 @@ _orig_hit = wf._process_hit
 
 
 def hit_only(state):
-    live = jnp.where(state.active[:, None], state.direction, 0.0)
+    live = jnp.where(state.active, state.direction, 0.0)
     return closest_hit_clustered(
         state.origin, live, state.tmin, sc0.tri_pack, sc0.aabb_mn, sc0.aabb_mx,
         batch.tx_origin[0], cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
         group_size=cfg.group_size, super_size=cfg.super_size,
         sub_tiles=cfg.sub_tiles, candidates=cfg.candidates, mt_group=cfg.mt_group,
+        components=True,
     )
 
 
@@ -83,10 +84,10 @@ def consume_all(state, bufs):
     return tot
 
 
-def mk_bufs():
+def mk_bufs():  # lanes-last buffers
     return TraceBuffers(
-        path=jnp.full((cfg.ray_total, cfg.depth_total), -1, jnp.int32),
-        rcs=jnp.full((cfg.ray_total, cfg.depth_total, 2), -1000000.0, jnp.float32),
+        path=jnp.full((cfg.depth_total, cfg.ray_total), -1, jnp.int32),
+        rcs=jnp.full((2, cfg.depth_total, cfg.ray_total), -1000000.0, jnp.float32),
     )
 
 
@@ -105,7 +106,7 @@ def build_stage(n_segs, cfg_used):
     @jax.jit
     def stage():
         def f(i):
-            s = _init_state(cfg_used, batch.tx_origin[0], fan0, jnp.float32)
+            s = _init_state(cfg_used, batch.tx_origin[0], fan0.T, jnp.float32)
             s = s._replace(tmin=s.tmin + i * 1e-12)
             b = mk_bufs()
             for _ in range(n_segs):
@@ -134,7 +135,7 @@ cfg_flat = dataclasses.replace(cfg, interpolate_smooth=False)
 
 full = timed(f"full {S}-seg body", build_stage(S, cfg))
 
-wf._cart_to_sph2 = lambda v: (v[..., 1], v[..., 2])
+wf._cart_to_sph2 = lambda v: (v[1], v[2])
 nt = timed("  - trig (atan2 pairs)", build_stage(S, cfg))
 wf._cart_to_sph2 = _orig_trig
 
@@ -142,7 +143,7 @@ nsm = timed("  - smooth normals (gather+interp+rotate)", build_stage(S, cfg_flat
 
 wf._scatter_col = lambda buf, col, value, mask: buf
 nsc = timed("  - scatters", build_stage(S, cfg))
-wf._cart_to_sph2 = lambda v: (v[..., 1], v[..., 2])
+wf._cart_to_sph2 = lambda v: (v[1], v[2])
 nts = timed("  - trig+scatters", build_stage(S, cfg))
 wf._cart_to_sph2 = _orig_trig
 wf._scatter_col = _orig_scatter
@@ -151,7 +152,7 @@ wf._scatter_col = _orig_scatter
 def _min_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg_, n3, spawn=True):
     gate = hit_mask & ~state.end
     hit_t = jnp.where(gate, hit.t.astype(state.origin.dtype), 0.0)
-    origin = jnp.where(gate[:, None], state.origin + hit_t[:, None] * state.direction, state.origin)
+    origin = jnp.where(gate, state.origin + hit_t[None] * state.direction, state.origin)
     refl_depth = jnp.where(gate, state.refl_depth + 1, state.refl_depth)
     active = (gate & (refl_depth < cfg_.max_refl_dev)) | (~hit_mask & state.active)
     return (

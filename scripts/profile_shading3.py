@@ -67,12 +67,13 @@ _orig_hit = wf._process_hit
 
 
 def hit_only(state):
-    live = jnp.where(state.active[:, None], state.direction, 0.0)
+    live = jnp.where(state.active, state.direction, 0.0)
     return closest_hit_clustered(
         state.origin, live, state.tmin, sc0.tri_pack, sc0.aabb_mn, sc0.aabb_mx,
         batch.tx_origin[0], cluster_size=cfg.cluster_size, ray_tile=cfg.ray_tile,
         group_size=cfg.group_size, super_size=cfg.super_size,
         sub_tiles=cfg.sub_tiles, candidates=cfg.candidates, mt_group=cfg.mt_group,
+        components=True,
     )
 
 
@@ -83,10 +84,10 @@ def consume_all(state, bufs):
     return tot
 
 
-def mk_bufs():
+def mk_bufs():  # lanes-last buffers
     return TraceBuffers(
-        path=jnp.full((cfg.ray_total, cfg.depth_total), -1, jnp.int32),
-        rcs=jnp.full((cfg.ray_total, cfg.depth_total, 2), -1000000.0, jnp.float32),
+        path=jnp.full((cfg.depth_total, cfg.ray_total), -1, jnp.int32),
+        rcs=jnp.full((2, cfg.depth_total, cfg.ray_total), -1000000.0, jnp.float32),
     )
 
 
@@ -132,7 +133,7 @@ def timed(name, fn, n=3):
 
 def with_patches(gather=True, scatter=True, miss=True):
     sg_mod.gather_shade = _orig_gather if gather else (
-        lambda table, tri, cfg_: jnp.zeros((tri.shape[0], table.shape[1]), table.dtype)
+        lambda table, tri, cfg_: jnp.zeros((table.shape[1], tri.shape[0]), table.dtype)
     )
     wf._scatter_col = _orig_scatter if scatter else (
         lambda buf, col, val, mask: buf
@@ -147,7 +148,7 @@ def _min_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg_, n3, spawn=True)
     depth) — bounds what thinning the full hit body could ever win."""
     gate = hit_mask & ~state.end
     hit_t = jnp.where(gate, hit.t.astype(state.origin.dtype), 0.0)
-    origin = jnp.where(gate[:, None], state.origin + hit_t[:, None] * state.direction, state.origin)
+    origin = jnp.where(gate, state.origin + hit_t[None] * state.direction, state.origin)
     refl_depth = jnp.where(gate, state.refl_depth + 1, state.refl_depth)
     active = (gate & (refl_depth < cfg_.max_refl_dev)) | (~hit_mask & state.active)
     return (
