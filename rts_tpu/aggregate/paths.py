@@ -107,17 +107,22 @@ def aggregate_lanes(
     fdtype = power.dtype
     cap = min(compact_cap, r) if compact_cap else 0
     if cap and cap < r:
+        from rts_tpu.engine.compact import received_first_idx, take_lanes
+
         count = jnp.sum(valid.astype(jnp.int32))
-        order = jnp.argsort(received < 0)  # received first (stable; == replay's)
-        idx = order[:cap].astype(jnp.int32)
+        # O(L) compaction, same selected set as the stable argsort (CSEs
+        # with replay_refine's / cpi.post's); filler slots gather
+        # received=-1 (excluded from every group) and their write-backs
+        # drop (out-of-range scatter), so they can never alias a lane.
+        idx = received_first_idx(received, cap)
 
         def gather(a):
             # lanes are the LAST axis of every leaf (path is [D, R])
-            return None if a is None else a[..., idx]
+            return None if a is None else take_lanes(a, idx)
 
         def capped(_):
             core = _aggregate_core(
-                gather(received), gather(refl_depth), gather(refr_depth),
+                take_lanes(received, idx, fill=-1), gather(refl_depth), gather(refr_depth),
                 gather(path), gather(power), gather(ray_length),
                 gather(doppler), num_rx, cspeed, carrier,
                 gather(ray_length_lo), num_targets, lane=idx, r_total=r,

@@ -121,18 +121,22 @@ def make_pulse_fn(
             # Postprocess is purely per-lane and only changes RECEIVED
             # lanes (valid-gated), yet gains/RCS/atan2 ran over the full
             # fan (~250k lanes for typically a few thousand received) —
-            # gather the received lanes to a cap block (the stable
-            # argsort CSEs with replay_refine's and aggregate_lanes'),
+            # gather the received lanes to a cap block (the O(L) cumsum
+            # compaction CSEs with replay_refine's and aggregate_lanes'),
             # postprocess there, scatter back onto the exact passthrough
-            # defaults the full path produces for non-received lanes.
-            # BIT-identical per lane; a lax.cond falls back to the full
-            # pass when more than cap lanes were received.
+            # defaults the full path produces for non-received lanes
+            # (filler slots are out-of-range: gathers fill received=-1,
+            # write-backs drop).  BIT-identical per lane; a lax.cond
+            # falls back to the full pass when more than cap lanes were
+            # received.
+            from rts_tpu.engine.compact import received_first_idx, take_lanes
+
             count = jnp.sum((res.received >= 0).astype(jnp.int32))
-            order = jnp.argsort(res.received < 0)  # received first (stable)
-            idx = order[:cap].astype(jnp.int32)
+            idx = received_first_idx(res.received, cap)
 
             def capped(_):
-                sub = jax.tree.map(lambda a: a[..., idx], res)
+                sub = jax.tree.map(lambda a: take_lanes(a, idx), res)
+                sub = sub._replace(received=take_lanes(res.received, idx, fill=-1))
                 pw_c, dp_c, _dl_c = post(sub)
                 return (
                     res.power.at[idx].set(pw_c),

@@ -229,9 +229,17 @@ def replay_refine(
     if cap < total:
         import jax
 
-        order = jnp.argsort(res.received < 0)  # received lanes first
-        idx = order[:cap]
-        sub = jax.tree.map(lambda a: a[..., idx], res)  # lanes-last leaves
+        from rts_tpu.engine.compact import received_first_idx, take_lanes
+
+        # O(L) compaction of received lanes to the front (an argsort of
+        # the received mask was ~2.5 ms/pulse at a 63^3 fan — docs/PERF.md
+        # r4).  Same selected set as the stable argsort: the first ``cap``
+        # received lanes in lane order.  Filler slots gather received=-1
+        # junk rows whose replayed values are DROPPED at the write-back
+        # (out-of-range scatter), so they can never touch a real lane.
+        idx = received_first_idx(res.received, cap)
+        sub = jax.tree.map(lambda a: take_lanes(a, idx), res)  # lanes-last
+        sub = sub._replace(received=take_lanes(res.received, idx, fill=-1))
         out = _replay_core(
             base, sub, cfg, extras, rot=rot, pos=pos, vel=vel, rx_geom=rx_geom,
             tx_origin=tx_origin, tx_span=tx_span, fan_block=fan_block,

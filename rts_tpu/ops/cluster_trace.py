@@ -83,6 +83,15 @@ _P1_L0_MIN_S = 192
 # fusions; the int key is a small loss (7.29 vs 6.96).  Default = 2.
 _P1_SEL_MODE = 2
 
+# Rays-on-LANES slab orientation (RTS_P1_RL): the classic layout puts the
+# box list on the minor (lane) axis — 62- or 96-wide lists pad to the
+# 128-lane tile, so every op of the big slab chains pays 1.33-2x — while
+# the ray count (a 512 multiple) sits on sublanes.  RL mode flips each
+# chain ([S0, l] / [tiles, B, rt]) so lanes are rays (zero padding) and
+# boxes ride sublanes; any/min reductions are exact either way, so the
+# emitted lists are BIT-identical.  See docs/PERF.md r4.
+# (defined below, after the _os import)
+
 
 # SMEM byte budget for the per-tile candidate/meta lists; grids with more
 # tiles than fit are chunked into independent pallas_calls (measured
@@ -95,6 +104,8 @@ _P1_SEL_MODE = 2
 import os as _os
 
 _SMEM_LIST_BUDGET = int(_os.environ.get("RTS_SMEM_LIST_BUDGET", 512 * 1024))
+
+_P1_RL = _os.environ.get("RTS_P1_RL", "0") == "1"
 
 # Kernel cost-model calibration switches (hardware experiments only;
 # both are value-identical to the default path — see docs/PERF.md r3k):
@@ -719,6 +730,46 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         ov = (tf >= tn) & (tf >= expand(tm_)) & expand(al_) & ok
         return ov, jnp.where(ov, jnp.maximum(tn, 0.0), jnp.float32(jnp.inf))
 
+    def batch_slab_rl(bmn, bmx):
+        """Rays-on-LANES orientation of batch_slab (see _P1_RL): output
+        [B, l] for a shared box set, [tiles, B, rt] for per-tile sets —
+        the minor axis is the ray count (a 128 multiple, zero padding)
+        instead of a 62/96-wide box list padded to the 128-lane tile.
+        Element values are identical to batch_slab's (same per-(ray,box)
+        arithmetic), only transposed."""
+        if bmn.ndim == 2:  # [B, 3] shared box set -> [B, l]
+            comp = lambda a, ax: a[ax][None, :]  # [1, l]
+            al_, tm_ = alive[None, :], tmin_f[None, :]
+            bsel = lambda a, ax: a[:, ax][:, None]  # [B, 1]
+            shape = (bmn.shape[0], l)
+        else:  # [tiles, B, 3] per-tile box sets -> [tiles, B, rt]
+            comp = lambda a, ax: a[ax].reshape(tiles, 1, ray_tile)
+            al_ = alive.reshape(tiles, 1, ray_tile)
+            tm_ = tmin_f.reshape(tiles, 1, ray_tile)
+            bsel = lambda a, ax: a[:, :, ax][..., None]  # [tiles, B, 1]
+            shape = (tiles, bmn.shape[1], ray_tile)
+        tn = jnp.full(shape, -big, f32)
+        tf = jnp.full(shape, big, f32)
+        for ax in range(3):
+            oa = comp(o, ax)
+            ia = comp(inv, ax)
+            t1 = (bsel(bmn, ax) - oa) * ia
+            t2 = (bsel(bmx, ax) - oa) * ia
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            inside = (oa >= bsel(bmn, ax)) & (oa <= bsel(bmx, ax))
+            dz = comp(d, ax) == 0.0
+            lo = jnp.where(dz, jnp.where(inside, -big, big), lo)
+            hi = jnp.where(dz, jnp.where(inside, big, -big), hi)
+            tn = jnp.maximum(tn, lo)
+            tf = jnp.minimum(tf, hi)
+        box_ok = jnp.all(
+            jnp.isfinite(bmn) & jnp.isfinite(bmx) & (bmn <= bmx), axis=-1
+        )
+        ok = box_ok[:, None] if bmn.ndim == 2 else box_ok[..., None]
+        ov = (tf >= tn) & (tf >= tm_) & al_ & ok
+        return ov, jnp.where(ov, jnp.maximum(tn, 0.0), jnp.float32(jnp.inf))
+
     # --- level 1: exact per-ray tests against SUPERGROUP boxes (runs of
     # ``_P1_FANOUT`` consecutive clusters) — [l, S] with S = C/fanout
     fanout = p1_fanout or _P1_FANOUT
@@ -763,8 +814,12 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         z_bad = z_mn[:, 0] > z_mx[:, 0]
         z_mn = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mn)
         z_mx = jnp.where(z_bad[:, None], jnp.float32(jnp.inf), z_mx)
-        ov_z, _ = batch_slab(z_mn, z_mx)  # [l, S0]
-        ov_z_t = jnp.any(ov_z.reshape(tiles, ray_tile, s0), axis=1)
+        if _P1_RL:
+            ov_z, _ = batch_slab_rl(z_mn, z_mx)  # [S0, l]
+            ov_z_t = jnp.any(ov_z.reshape(s0, tiles, ray_tile), axis=2).T
+        else:
+            ov_z, _ = batch_slab(z_mn, z_mx)  # [l, S0]
+            ov_z_t = jnp.any(ov_z.reshape(tiles, ray_tile, s0), axis=1)
         k0 = min(p1_super_k0 or _P1_SUPER_K0, s0)
         z_count = jnp.sum(ov_z_t, axis=1).astype(jnp.int32)
         _, z_order = jax.lax.top_k(
@@ -776,8 +831,12 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         # positions are unique; s_pad0 tail slots are sentinel boxes)
         sg_slots = (z_order[..., None] * f0 + jnp.arange(f0)).reshape(tiles, k0 * f0)
         sg_slots = jnp.minimum(sg_slots, s_pad0 - 1)
-        ov_s1, _ = batch_slab(smnp[sg_slots], smxp[sg_slots])  # [tiles, rt, k0*f0]
-        ov_s_t = jnp.any(ov_s1, axis=1)  # [tiles, k0*f0]
+        if _P1_RL:
+            ov_s1, _ = batch_slab_rl(smnp[sg_slots], smxp[sg_slots])  # [tiles, k0*f0, rt]
+            ov_s_t = jnp.any(ov_s1, axis=2)  # [tiles, k0*f0]
+        else:
+            ov_s1, _ = batch_slab(smnp[sg_slots], smxp[sg_slots])  # [tiles, rt, k0*f0]
+            ov_s_t = jnp.any(ov_s1, axis=1)  # [tiles, k0*f0]
         nsl = k0 * f0
         s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
         _, sel1 = jax.lax.top_k(
@@ -787,8 +846,12 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         ks = min(ks, nsl)
         s_over = l0_over | (s_count > ks)
     else:
-        ov_s, _ = batch_slab(s_mn, s_mx)  # [l, S]
-        ov_s_t = jnp.any(ov_s.reshape(tiles, ray_tile, s), axis=1)  # [tiles, S]
+        if _P1_RL:
+            ov_s, _ = batch_slab_rl(s_mn, s_mx)  # [S, l]
+            ov_s_t = jnp.any(ov_s.reshape(s, tiles, ray_tile), axis=2).T  # [tiles, S]
+        else:
+            ov_s, _ = batch_slab(s_mn, s_mx)  # [l, S]
+            ov_s_t = jnp.any(ov_s.reshape(tiles, ray_tile, s), axis=1)  # [tiles, S]
         s_count = jnp.sum(ov_s_t, axis=1).astype(jnp.int32)
         # nearest-first isn't needed at this level — order by index is
         # fine; pick the Ks overlapping supergroups (overlap sorts first)
@@ -801,23 +864,34 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     members = jnp.minimum(members, c_pad1 - 1)
     cmn = mnp[members]  # [tiles, ks*fanout, 3] (tiny gather)
     cmx = mxp[members]
-    ov_c, tnear_c = batch_slab(cmn, cmx)  # [tiles, rt, ks*fanout]
-    # ONE reduction pass over the big [tiles, rt, kf] slab output, per
-    # ray SUB-BLOCK (any + min over rs); the tile-level any/min and the
-    # bitmask all derive from the tiny [tiles, st, kf] partials — vs
-    # three independent rt-length reductions over the full intermediate
     rs = ray_tile // sub_tiles
     kf = ks * fanout
-    ov_sb = jnp.any(ov_c.reshape(tiles, sub_tiles, rs, kf), axis=2)  # [tiles, st, kf]
-    tnear_sb = jnp.min(tnear_c.reshape(tiles, sub_tiles, rs, kf), axis=2)
-    if _P1_SEL_MODE & 2:
-        ov_sb, tnear_sb = jax.lax.optimization_barrier((ov_sb, tnear_sb))
-    ov_ct = jnp.any(ov_sb, axis=1)  # [tiles, ks*fanout] (slots are distinct
-    # clusters: top_k indices are unique positions, padding slots are
-    # sentinel boxes that never overlap)
-    tnear_t = jnp.min(tnear_sb, axis=1)
-    weights = (1 << jnp.arange(sub_tiles, dtype=jnp.int32))[None, :, None]
-    bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=1)  # [tiles, kf]
+    if _P1_RL:
+        ov_c, tnear_c = batch_slab_rl(cmn, cmx)  # [tiles, kf, rt]
+        ov_sb = jnp.any(ov_c.reshape(tiles, kf, sub_tiles, rs), axis=3)  # [tiles, kf, st]
+        tnear_sb = jnp.min(tnear_c.reshape(tiles, kf, sub_tiles, rs), axis=3)
+        if _P1_SEL_MODE & 2:
+            ov_sb, tnear_sb = jax.lax.optimization_barrier((ov_sb, tnear_sb))
+        ov_ct = jnp.any(ov_sb, axis=2)  # [tiles, kf]
+        tnear_t = jnp.min(tnear_sb, axis=2)
+        weights = (1 << jnp.arange(sub_tiles, dtype=jnp.int32))[None, None, :]
+        bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=2)  # [tiles, kf]
+    else:
+        ov_c, tnear_c = batch_slab(cmn, cmx)  # [tiles, rt, ks*fanout]
+        # ONE reduction pass over the big [tiles, rt, kf] slab output, per
+        # ray SUB-BLOCK (any + min over rs); the tile-level any/min and the
+        # bitmask all derive from the tiny [tiles, st, kf] partials — vs
+        # three independent rt-length reductions over the full intermediate
+        ov_sb = jnp.any(ov_c.reshape(tiles, sub_tiles, rs, kf), axis=2)  # [tiles, st, kf]
+        tnear_sb = jnp.min(tnear_c.reshape(tiles, sub_tiles, rs, kf), axis=2)
+        if _P1_SEL_MODE & 2:
+            ov_sb, tnear_sb = jax.lax.optimization_barrier((ov_sb, tnear_sb))
+        ov_ct = jnp.any(ov_sb, axis=1)  # [tiles, ks*fanout] (slots are distinct
+        # clusters: top_k indices are unique positions, padding slots are
+        # sentinel boxes that never overlap)
+        tnear_t = jnp.min(tnear_sb, axis=1)
+        weights = (1 << jnp.arange(sub_tiles, dtype=jnp.int32))[None, :, None]
+        bits_all = jnp.sum(ov_sb.astype(jnp.int32) * weights, axis=1)  # [tiles, kf]
 
     count = jnp.sum(ov_ct, axis=1).astype(jnp.int32)  # [tiles]
     k_eff = min(k_max, ks * fanout)

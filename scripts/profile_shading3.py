@@ -107,7 +107,7 @@ def build_stage(n_segs):
     @jax.jit
     def stage():
         def f(i):
-            s = _init_state(cfg, batch.tx_origin[0], fan0, jnp.float32)
+            s = _init_state(cfg, batch.tx_origin[0], fan0.T, jnp.float32)  # [3, F]
             s = s._replace(tmin=s.tmin + i * 1e-12)
             b = mk_bufs()
             for _ in range(n_segs):
