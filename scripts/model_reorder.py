@@ -205,7 +205,8 @@ def main():
         o, d, tm = pad_tiles(o), pad_tiles(d), pad_tiles(tm)
         cand, meta, _bits = (
             np.asarray(x) for x in _tile_candidates(
-                jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm),
+                # lanes-last engine layout: [3, l] components-major
+                jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(tm),
                 jnp.asarray(mn), jnp.asarray(mx), args.rt, args.st, args.cand,
                 p1_fanout=args.p1_fanout, p1_super_k=args.p1_super_k,
             )
