@@ -154,12 +154,14 @@ def aggregate_lanes(
             lane=jnp.arange(r, dtype=jnp.int32), r_total=r,
         )
 
-    # ---- unique-path representatives (ray_tracer.cpp:1290-1304)
-    emit = (
-        jnp.zeros((r + 2,), bool)
-        .at[jnp.where(valid, match, r + 1)]
-        .set(True, mode="drop")[:r]
-    )
+    # ---- unique-path representatives (ray_tracer.cpp:1290-1304).
+    # A lane is its group's representative iff it IS the group's min
+    # matching lane — so the set {match[l] : valid l} equals
+    # {l : match[l] == l}, and the (pathological on TPU) R-update
+    # scatter .at[match].set(True) reduces to one elementwise compare
+    # (measured: the scatter was ~2 ms/pulse of the 2.36 ms aggregation
+    # marginal at the 63³ production bench, docs/PERF.md r4c).
+    emit = valid & (match == jnp.arange(r, dtype=match.dtype))
     return LaneAggregate(
         npath=npath, power=pw, delay=dl, phase=ph, doppler=dp,
         path_match=match, emit=emit, phase_lo=phl,
