@@ -157,6 +157,7 @@ def build(args):
         refine=args.refine,
         replay_cap=args.replay_cap,
         agg_cap=getattr(args, "agg_cap", 4096),
+        rcs_angles=getattr(args, "rcs_angles", None),
     )
     return base, batch, cfg, spec, int(base.tri_verts.shape[0])
 
@@ -234,6 +235,12 @@ def main():
         help="late-segment narrow tile budget divisor (0 = off, -1 = auto "
         "live-tile budget max(8, tiles//24) — the production default): "
         "gather live ray tiles into a narrow block once they fit",
+    )
+    ap.add_argument(
+        "--rcs-angles", dest="rcs_angles", default=None,
+        type=lambda v: v.lower() in ("1", "true", "on"),
+        help="force per-bounce RCS angle recording on/off (default: auto "
+             "from the scene's RCS models; bench targets are IsoRCS -> off)",
     )
     ap.add_argument("--tiny", action="store_true", help="fast smoke configuration")
     ap.add_argument("--stats", action="store_true", help="print traversal workload counters (stderr)")

@@ -209,6 +209,14 @@ class TraceConfig:
     # anything: a lax.cond falls back to the full-lane path when more
     # than agg_cap lanes were received.  0 disables.
     agg_cap: int = 4096
+    # Record per-bounce RCS angle sums (normal_shader.cu:259-265,319-326)
+    # into the [2, D, R] rcs buffer.  When every target's RCS model is
+    # aspect-free (IsoRCS/SphereRCS ignore the angles entirely,
+    # physics/rcs.py), the recorded values are never read by
+    # postprocess — prepare_cpi auto-disables this, which statically
+    # elides 6 arctan2 chains + two [2, D, R] one-hot scatters per
+    # segment from the hit body (the buffer keeps its init sentinel).
+    rcs_angles: bool = True
 
     @classmethod
     def from_parameters(cls, p: Parameters, **kw) -> "TraceConfig":

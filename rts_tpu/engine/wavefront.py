@@ -147,9 +147,14 @@ def _refract(i, n, ior, cfg: TraceConfig):
     return r.astype(dtype), ok
 
 
+# module-level alias so profilers can stub the transcendental
+# (scripts/profile_hit4.py) — always jnp.arctan2 in production
+_atan2 = jnp.arctan2
+
+
 def _cart_to_sph2(v):
-    azi = jnp.arctan2(v[1], v[0])
-    ele = jnp.arctan2(v[2], jnp.sqrt(v[0] ** 2 + v[1] ** 2))
+    azi = _atan2(v[1], v[0])
+    ele = _atan2(v[2], jnp.sqrt(v[0] ** 2 + v[1] ** 2))
     return azi, ele
 
 
@@ -305,7 +310,11 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     refl_c = _tgather(scene.target_refl)  # [L]
     k0 = normalize3c(state.direction)
     k0 = jnp.where(jnp.isfinite(k0), k0, 0.0)
-    k0_azi, k0_ele = _cart_to_sph2(k0)
+    if cfg.rcs_angles:
+        # arrival angles, recorded only when some RCS model reads them
+        # (normal_shader.cu:259-265; aspect-free models ignore the
+        # buffer, so prepare_cpi statically elides all of this trig)
+        k0_azi, k0_ele = _cart_to_sph2(k0)
 
     # --- refraction spawn (normal_shader.cu:191-281)
     refr_prev_new = state.refr_cur  # prd_refr.refrIndex.x = old .y
@@ -345,18 +354,19 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
             cap_root0_bits=state.cap_root0_bits,
         )
 
-        # refraction RCS angles -> child row (normal_shader.cu:259-265)
-        k1_azi, k1_ele = _cart_to_sph2(-k1)
-        rcs_val = jnp.stack([k0_azi + k1_azi, k0_ele + k1_ele], axis=0)  # [2, L]
-        child_col = state.refl_depth + state.refr_depth  # refl + (refr+1) - 1
-        rcs = rcs.at[:, :, :l].set(
-            _scatter_col(
-                rcs[:, :, :l],
-                _shift_down(child_col, n3),
-                _shift_down(rcs_val, n3),
-                _shift_down(spawn_mask, n3),
+        if cfg.rcs_angles:
+            # refraction RCS angles -> child row (normal_shader.cu:259-265)
+            k1_azi, k1_ele = _cart_to_sph2(-k1)
+            rcs_val = jnp.stack([k0_azi + k1_azi, k0_ele + k1_ele], axis=0)  # [2, L]
+            child_col = state.refl_depth + state.refr_depth  # refl + (refr+1) - 1
+            rcs = rcs.at[:, :, :l].set(
+                _scatter_col(
+                    rcs[:, :, :l],
+                    _shift_down(child_col, n3),
+                    _shift_down(rcs_val, n3),
+                    _shift_down(spawn_mask, n3),
+                )
             )
-        )
 
         # pre-filled trapped/exiting path rows (normal_shader.cu:221-239)
         prefill = spawn_mask & (state.refr_depth == 0) & (state.slot_base == 0)
@@ -392,11 +402,12 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     seg_dir = jnp.where(do_refl, refl_dir.astype(dtype), state.seg_dir)
     tmin = jnp.where(do_refl, jnp.asarray(SCENE_EPS_R, dtype), state.tmin)
 
-    # reflection RCS angles -> own row (normal_shader.cu:319-326)
-    k1r_azi, k1r_ele = _cart_to_sph2(-k1r)
-    rcs_val_r = jnp.stack([k0_azi + k1r_azi, k0_ele + k1r_ele], axis=0)  # [2, L]
-    rcs_col_r = (refl_depth - 1) + state.refr_depth
-    rcs = rcs.at[:, :, :l].set(_scatter_col(rcs[:, :, :l], rcs_col_r, rcs_val_r, do_refl))
+    if cfg.rcs_angles:
+        # reflection RCS angles -> own row (normal_shader.cu:319-326)
+        k1r_azi, k1r_ele = _cart_to_sph2(-k1r)
+        rcs_val_r = jnp.stack([k0_azi + k1r_azi, k0_ele + k1r_ele], axis=0)  # [2, L]
+        rcs_col_r = (refl_depth - 1) + state.refr_depth
+        rcs = rcs.at[:, :, :l].set(_scatter_col(rcs[:, :, :l], rcs_col_r, rcs_val_r, do_refl))
 
     # No outer hit_mask merge is needed: every field above is computed
     # with an inner where on ``gate`` (or a mask contained in it), so it
@@ -492,16 +503,16 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
             ep = o + ti[None] * d
             rel = ep - c
             if cfg.strict_parity:
-                theta = jnp.arctan2(
+                theta = _atan2(
                     rel[1].astype(jnp.float32), rel[0].astype(jnp.float32)
                 ).astype(dtype)
-                phi = jnp.arctan2(
+                phi = _atan2(
                     rel[2].astype(jnp.float32),
                     jnp.sqrt(rel[1] ** 2 + rel[0] ** 2).astype(jnp.float32),
                 ).astype(dtype)
             else:
-                theta = jnp.arctan2(rel[1], rel[0])
-                phi = jnp.arctan2(rel[2], jnp.sqrt(rel[1] ** 2 + rel[0] ** 2))
+                theta = _atan2(rel[1], rel[0])
+                phi = _atan2(rel[2], jnp.sqrt(rel[1] ** 2 + rel[0] ** 2))
 
             # fold phi into [-pi/2, pi/2] (cu:332-340)
             low = phi < -PI / 2

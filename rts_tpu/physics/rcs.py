@@ -22,6 +22,11 @@ import numpy as np
 class IsoRCS:
     """Aspect-independent RCS (sigma in m^2)."""
 
+    # ``rcs()`` ignores its angle arguments; the tracer may skip
+    # recording them when every target is aspect-free (TraceConfig
+    # ``rcs_angles`` — prepare_cpi auto-detects via this attribute).
+    aspect_free = True
+
     sigma: float = 1.0
 
     def rcs(self, az_sum, el_sum, wavelength):
@@ -35,6 +40,8 @@ class IsoRCS:
 @dataclasses.dataclass(frozen=True)
 class SphereRCS:
     """Optical-region conducting sphere: sigma = pi r^2, aspect-free."""
+
+    aspect_free = True
 
     radius: float = 1.0
 

@@ -89,6 +89,10 @@ _PREPARE_DEFAULTS = dict(
     # instead of host NumPy — keeps host prep flat for very long CPIs.
     # Incompatible with refine=True (the replay needs f64 host centres).
     rx_geom_on_device=False,
+    # None = auto: record per-bounce RCS angle sums only when some
+    # target's RCS model actually reads them (aspect_free attribute,
+    # physics/rcs.py).  True/False force.
+    rcs_angles=None,
 )
 
 
@@ -164,6 +168,11 @@ def prepare_cpi(
         raise ValueError(
             "rx_geom_on_device=True is incompatible with refine=True: the ds "
             "replay needs the f64 host receiver centres for its residuals"
+        )
+    rcs_angles = opts["rcs_angles"]
+    if rcs_angles is None:
+        rcs_angles = any(
+            not getattr(t.rcs_model, "aspect_free", False) for t in world.targets
         )
     trans = world.transmitters[tx_index]
     signal = TransmitterPulse()
@@ -350,6 +359,7 @@ def prepare_cpi(
         interpret=interpret,
         refine=refine,
         replay_cap=replay_cap,
+        rcs_angles=rcs_angles,
     )
     spec = CpiSpec(
         tx_span=trans.GetTxSpan(),
