@@ -212,7 +212,17 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
     # [NT] operands pathologically; a one-hot contraction runs at memory
     # speed.  Gate on NT so huge target counts keep the gather.
     # Lanes-last: the one-hot is [NT, L] and results are [L] / [k, L].
-    if nt <= 16:
+    if nt == 1:
+        # single-target scene: every gated lane's attrs are target 0's —
+        # the one-hot contraction degenerates to a broadcast (bit-equal:
+        # the [1, L] one-hot is all ones, so the dot returns a[0] exactly)
+        def _tgather(a):
+            a2 = a.astype(dtype).reshape(-1)
+            if a.ndim == 1:
+                return jnp.broadcast_to(a2[0], targ_safe.shape)
+            return jnp.broadcast_to(a2[:, None], (a2.shape[0], targ_safe.shape[0]))
+
+    elif nt <= 16:
         _oh = (jnp.arange(nt, dtype=jnp.int32)[:, None] == targ_safe[None, :]).astype(dtype)
 
         def _tgather(a):  # [NT] or [NT, k] -> per-lane values [L] / [k, L]
@@ -498,6 +508,56 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
         t0 = (-b_q - sq) / (2.0 * a_q)
         t1 = (-b_q + sq) / (2.0 * a_q)
 
+        # acceptance windows with pole-wrapped second region (cu:342-388)
+        # — per-receiver scalars, identical for both quadratic roots
+        max_t1 = rx.max_theta[rx_i]
+        min_t1 = rx.min_theta[rx_i]
+        max_p1 = rx.max_phi[rx_i]
+        min_p1 = rx.min_phi[rx_i]
+        max_t2, min_t2, max_p2, min_p2 = max_t1, min_t1, max_p1, min_p1
+
+        w_low = min_p1 < -PI / 2
+        max_t2 = jnp.where(w_low, max_t2 + PI, max_t2)
+        min_t2 = jnp.where(w_low, min_t2 + PI, min_t2)
+        max_p2 = jnp.where(w_low, -PI - min_p1, max_p2)
+        min_p2 = jnp.where(w_low, -PI / 2, min_p2)
+        min_p1 = jnp.where(w_low, -PI / 2, min_p1)
+
+        w_high = max_p1 > PI / 2
+        max_t2 = jnp.where(w_high, max_t2 + PI, max_t2)
+        min_t2 = jnp.where(w_high, min_t2 + PI, min_t2)
+        min_p2 = jnp.where(w_high, PI - max_p1, min_p2)
+        max_p2 = jnp.where(w_high, PI / 2, max_p2)
+        max_p1 = jnp.where(w_high, PI / 2, max_p1)
+
+        if not cfg.strict_parity:
+            # Per-bound sin/cos (scalar work) for the sector-form window
+            # test below — the per-lane transcendentals drop out entirely.
+            win_sc = [
+                (jnp.sin(a), jnp.cos(a), jnp.sin(b), jnp.cos(b),
+                 jnp.sin(a) * jnp.cos(b) - jnp.cos(a) * jnp.sin(b))
+                for (a, b) in ((min_t1, max_t1), (min_p1, max_p1),
+                               (min_t2, max_t2), (min_p2, max_p2))
+            ]
+
+        def _sector(u, v, sc):
+            """angle_in_range(atan2(v, u), a, b) without the atan2.
+
+            With theta = atan2(v, u):  u*sin(a) - v*cos(a) = r*sin(a-theta)
+            carries the sign of wrap_angle(a - theta) (sign(sin w) ==
+            sign(w) on (-pi, pi)), so the reference test
+            wrap(a-t)*wrap(b-t) < 0  &  |wrap(a-t) - wrap(b-t)| < pi
+            (core/vec.py angle_in_range, ray_tracer.cu:60-69) becomes two
+            cross-product sign tests — the second via sign(wa - wb) ==
+            sign(wa) (opposite signs given the first) and
+            sin(wa - wb) == sin(a - b), a per-receiver scalar.  Exactly
+            equivalent in real arithmetic, boundary cases included
+            (both sides are False wherever any sine is 0)."""
+            sa, ca, sb, cb, sab = sc
+            wa = u * sa - v * ca
+            wb = u * sb - v * cb
+            return (wa * wb < 0.0) & (wa * sab > 0.0)
+
         def _root_captured(ti):
             okt = (ti >= 0.0) & (ray_length + ti > SCENE_EPS) & (ray_length + ti > SCENE_EPS_R)
             ep = o + ti[None] * d
@@ -510,44 +570,36 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
                     rel[2].astype(jnp.float32),
                     jnp.sqrt(rel[1] ** 2 + rel[0] ** 2).astype(jnp.float32),
                 ).astype(dtype)
+
+                # fold phi into [-pi/2, pi/2] (cu:332-340)
+                low = phi < -PI / 2
+                theta = jnp.where(low, theta + PI, theta)
+                phi = jnp.where(low, -PI - phi, phi)
+                high = phi > PI / 2
+                theta = jnp.where(high, theta + PI, theta)
+                phi = jnp.where(high, PI - phi, phi)
+
+                in_win = (
+                    angle_in_range(theta, min_t1, max_t1) & angle_in_range(phi, min_p1, max_p1)
+                ) | (
+                    angle_in_range(theta, min_t2, max_t2) & angle_in_range(phi, min_p2, max_p2)
+                )
             else:
-                theta = _atan2(rel[1], rel[0])
-                phi = _atan2(rel[2], jnp.sqrt(rel[1] ** 2 + rel[0] ** 2))
-
-            # fold phi into [-pi/2, pi/2] (cu:332-340)
-            low = phi < -PI / 2
-            theta = jnp.where(low, theta + PI, theta)
-            phi = jnp.where(low, -PI - phi, phi)
-            high = phi > PI / 2
-            theta = jnp.where(high, theta + PI, theta)
-            phi = jnp.where(high, PI - phi, phi)
-
-            # acceptance windows with pole-wrapped second region (cu:342-388)
-            max_t1 = rx.max_theta[rx_i]
-            min_t1 = rx.min_theta[rx_i]
-            max_p1 = rx.max_phi[rx_i]
-            min_p1 = rx.min_phi[rx_i]
-            max_t2, min_t2, max_p2, min_p2 = max_t1, min_t1, max_p1, min_p1
-
-            w_low = min_p1 < -PI / 2
-            max_t2 = jnp.where(w_low, max_t2 + PI, max_t2)
-            min_t2 = jnp.where(w_low, min_t2 + PI, min_t2)
-            max_p2 = jnp.where(w_low, -PI - min_p1, max_p2)
-            min_p2 = jnp.where(w_low, -PI / 2, min_p2)
-            min_p1 = jnp.where(w_low, -PI / 2, min_p1)
-
-            w_high = max_p1 > PI / 2
-            max_t2 = jnp.where(w_high, max_t2 + PI, max_t2)
-            min_t2 = jnp.where(w_high, min_t2 + PI, min_t2)
-            min_p2 = jnp.where(w_high, PI - max_p1, min_p2)
-            max_p2 = jnp.where(w_high, PI / 2, max_p2)
-            max_p1 = jnp.where(w_high, PI / 2, max_p1)
-
-            in_win = (
-                angle_in_range(theta, min_t1, max_t1) & angle_in_range(phi, min_p1, max_p1)
-            ) | (
-                angle_in_range(theta, min_t2, max_t2) & angle_in_range(phi, min_p2, max_p2)
-            )
+                # Sector-form windows on the capture point: theta on the
+                # (x, y) pair, phi on (rho, z) with rho = hypot(x, y) >= 0
+                # (so phi is already in [-pi/2, pi/2] — the reference's
+                # phi fold above is a no-op and is elided here).  x = y =
+                # 0 (capture through the sphere pole) maps to the
+                # reference's atan2(0, 0) = 0 by substituting the theta=0
+                # direction vector.
+                x, yy, z = rel[0], rel[1], rel[2]
+                rho = jnp.sqrt(x * x + yy * yy)
+                x = jnp.where((x == 0.0) & (yy == 0.0), jnp.ones_like(x), x)
+                in_win = (
+                    _sector(x, yy, win_sc[0]) & _sector(rho, z, win_sc[1])
+                ) | (
+                    _sector(x, yy, win_sc[2]) & _sector(rho, z, win_sc[3])
+                )
             return okt & in_win
 
         cap0 = has & _root_captured(t0)
