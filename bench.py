@@ -118,6 +118,42 @@ def build(args):
         el = -math.pi / 2
         w.transmitters[0].rotation = RotationPath(elevation=el)
         w.receivers[0].rotation = RotationPath(elevation=el)
+    elif args.scene == "moving":
+        # BASELINE config 2: multi-target moving scene — per-pulse
+        # retrace with Doppler phase accumulation across the CPI
+        # (reference shape: ray_tracer.cpp:843-1333, per-pulse BVH
+        # rebuild + kernel relaunch).  Four icospheres at distinct
+        # ranges/radial speeds so the range/Doppler map separates them.
+        # A sphere only retroreflects into the monostatic capture sphere
+        # when a launch ray passes (almost) exactly through its centre,
+        # so the centres sit on the u in {0, 1/2, 1} fan grid nodes —
+        # directions that exist for EVERY odd-N fan (beam centre and
+        # edge midpoints of the Cartesian corner interpolation,
+        # engine/fan.py; ray_tracer.cu:144-209).
+        from rts_tpu.engine.fan import generate_fan
+        import numpy as _np
+
+        dirs = _np.asarray(
+            generate_fan(3, (0.0, 0.0), (0.15, 0.15, 0.0), dtype=jnp.float64)
+        )  # [27, 3]; ray = iz*9 + iy*3 + ix, directions constant in ix
+        subdivs = max(0, round(math.log(max(args.tris // 4, 20) / 20.0, 4.0)))
+        for node, rng, spd in (
+            (12, 900.0, -50.0),   # beam centre (iz=1, iy=1)
+            (9, 1400.0, 80.0),    # left edge midpoint (iz=1, iy=0)
+            (15, 2000.0, -140.0), # right edge midpoint (iz=1, iy=2)
+            (3, 2600.0, 30.0),    # bottom edge midpoint (iz=0, iy=1)
+        ):
+            d = dirs[node] / _np.linalg.norm(dirs[node])
+            p0 = tuple(rng * d)
+            p1 = tuple((rng + spd) * d)  # radial motion: clean Doppler line
+            w.add(
+                Target(
+                    path=Path.linear([(0.0, p0), (1.0, p1)]),
+                    shape="sphere",
+                    sphere_params=(subdivs, 60.0),
+                    refl_coeff=0.9,
+                )
+            )
     else:
         # Icosphere subdivision count reaching ~args.tris triangles (20*4^s).
         subdivs = max(0, round(math.log(max(args.tris, 20) / 20.0, 4.0)))
@@ -151,7 +187,6 @@ def build(args):
         p1_super_k=getattr(args, "p1_super_k", None),
         p1_fanout0=getattr(args, "p1_fanout0", None),
         p1_super_k0=getattr(args, "p1_super_k0", None),
-        shade_gather=getattr(args, "shade_gather", "row"),
         compact_narrow=getattr(args, "compact_narrow", 0),
         fan_order=args.fan_order,
         refine=args.refine,
@@ -173,7 +208,7 @@ def main():
     ap.add_argument("--pulses", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--tri-chunk", type=int, default=2048)
-    ap.add_argument("--scene", choices=("sphere", "terrain", "dielectric"), default="terrain")
+    ap.add_argument("--scene", choices=("sphere", "terrain", "dielectric", "moving"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
     ap.add_argument("--cluster-size", type=int, default=128)
     ap.add_argument("--ray-tile", type=int, default=512)
@@ -224,11 +259,6 @@ def main():
         "--p1-super-k0", type=int, default=None,
         help="phase-1 admitted level-0 runs per tile; level-1 re-test width "
         "= K0*fanout0 slots (default 12; bench terrain admits ~2-4)",
-    )
-    ap.add_argument(
-        "--shade-gather", choices=("row", "window"), default="row",
-        help="hit-shading attribute gather: plain row gather, or per-tile "
-        "winner-cluster block gather + one-hot MXU extraction",
     )
     ap.add_argument(
         "--compact-narrow", type=int, default=-1,

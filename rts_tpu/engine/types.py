@@ -168,14 +168,6 @@ class TraceConfig:
     @property
     def fan_tiling(self) -> bool:
         return self.fan_order != "raster"
-    # Hit-shading attribute gather: "row" = plain XLA row gather of
-    # shade_pack[tri]; "window" = per-tile winner-cluster block gather +
-    # one-hot MXU extraction (engine/shade_gather.py) with an
-    # unconditional fallback to "row" when a tile has more than
-    # ``shade_window_k`` distinct winner clusters.  Only meaningful with
-    # accel="cluster" (needs the Morton-clustered triangle order).
-    shade_gather: str = "row"
-    shade_window_k: int = 16
     # Compact active lanes to the front once refraction spawning is over,
     # so late segments only traverse live tiles.  Wins when most of the
     # fan misses at segment 1; loses (sort+permute overhead) when the fan

@@ -179,6 +179,17 @@ def _scatter_col(buf, col, value, mask):
 # hit processing (closest_hit program analogue)
 
 
+def _shade_rows(table, tri):
+    """Hit-shading attribute fetch: ``table[tri].T`` ([T, F] rows ->
+    [F, L] components-major).  The reference reads these through OptiX's
+    hardware SBT records (/root/reference/normal_shader.cu:139-194); on
+    TPU the plain row gather fuses into its consumers and measures ~0 in
+    situ (docs/PERF.md r3h — a winner-cluster block-gather alternative
+    was measured −3% and excised in r4).  Module-level so profilers can
+    stub it (scripts/profile_insitu.py)."""
+    return table[tri].T
+
+
 def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: DeviceScene, tx_origin, cfg: TraceConfig, n3: int, spawn: bool = True):
     """``spawn=False`` statically skips the refraction-spawn machinery.
     Only valid for segments where no spawn can occur (after the first
@@ -198,9 +209,7 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
         # ONE [T, 10] gather yields both the per-lane target id and the
         # corner normals (animate.SceneBase.shade_pack) — the separate
         # [T] + [T, 3, 3] gathers share indices but XLA keeps them apart
-        from rts_tpu.engine.shade_gather import gather_shade
-
-        shade = gather_shade(scene.shade_pack, tri, cfg)  # [10, L]
+        shade = _shade_rows(scene.shade_pack, tri)  # [10, L]
         targ = shade[9].astype(jnp.int32)
         fused_cn = shade[:9].reshape(3, 3, -1)  # [corner, comp, L]
     else:
@@ -550,9 +559,11 @@ def _process_miss(state: LaneState, miss_mask, rx: RxGeomDevice, tx_origin, cfg:
             (core/vec.py angle_in_range, ray_tracer.cu:60-69) becomes two
             cross-product sign tests — the second via sign(wa - wb) ==
             sign(wa) (opposite signs given the first) and
-            sin(wa - wb) == sin(a - b), a per-receiver scalar.  Exactly
-            equivalent in real arithmetic, boundary cases included
-            (both sides are False wherever any sine is 0)."""
+            sin(wa - wb) == sin(a - b), a per-receiver scalar.  Equal to
+            the reference test in real arithmetic except on the
+            measure-zero set wrap(a-t) = +-pi (wa == 0 there, so the
+            sector form is conservatively False while angle_in_range can
+            return True); both are False wherever any other sine is 0."""
             sa, ca, sb, cb, sab = sc
             wa = u * sa - v * ca
             wb = u * sb - v * cb

@@ -135,6 +135,16 @@ _KERNEL_THIN_VALID = _os.environ.get("RTS_KERNEL_THIN_VALID", "1") == "1"
 #   bit 2: skip the stats_out tail write
 #   bit 3: skip the candidate/sweep dispatch entirely (loops + drain)
 _KERNEL_FLOOR = int(_os.environ.get("RTS_KERNEL_FLOOR", "0"))
+# A stray RTS_KERNEL_FLOOR in the environment would silently corrupt
+# every trace — require an explicit confirmation variable so the bisect
+# scripts (which set the module attribute in-process, or export both
+# vars) keep working while accidental inheritance fails loudly.
+if _KERNEL_FLOOR and _os.environ.get("RTS_TIMING_GARBAGE_OK") != "1":
+    raise RuntimeError(
+        "RTS_KERNEL_FLOOR deletes kernel stages — outputs are garbage "
+        "by design (timing bisect only, scripts/profile_kfloor.py). "
+        "Set RTS_TIMING_GARBAGE_OK=1 to confirm, or unset it."
+    )
 # PACKED_IO: marshal the per-ray kernel I/O through lane-major packs.
 # The legacy layout fed o/d as [lp, 3], tmin as [lp, 1] and wrote four
 # [lp, 1] outputs — every one of those blocks pads its minor dim to the
@@ -148,6 +158,28 @@ _KERNEL_FLOOR = int(_os.environ.get("RTS_KERNEL_FLOOR", "0"))
 # 16 KB per grid step and 2 block copies instead of 7.  In-kernel
 # (8,rt)<->(rt,8) transposes bridge to the rays-on-sublanes MT layout.
 _PACKED_IO = _os.environ.get("RTS_KERNEL_PACKED_IO", "1") == "1"
+
+# Experiment-flag audit: every env switch above with its default, so the
+# production preset can warn when any is inherited from a stale shell
+# (prepare_cpi, sim/cpi.py).  All non-FLOOR flags are value-identical by
+# design, but non-default settings still change timing silently.
+_EXPERIMENT_FLAG_DEFAULTS = {
+    "RTS_SMEM_LIST_BUDGET": str(512 * 1024),
+    "RTS_P1_RL": "0",
+    "RTS_KERNEL_UNGATED": "0",
+    "RTS_KERNEL_THIN_VALID": "1",
+    "RTS_KERNEL_FLOOR": "0",
+    "RTS_KERNEL_PACKED_IO": "1",
+}
+
+
+def nondefault_experiment_flags() -> dict:
+    """Env experiment switches currently set away from their defaults."""
+    return {
+        k: _os.environ[k]
+        for k, d in _EXPERIMENT_FLAG_DEFAULTS.items()
+        if _os.environ.get(k, d) != d
+    }
 
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:

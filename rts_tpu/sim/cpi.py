@@ -76,8 +76,6 @@ _PREPARE_DEFAULTS = dict(
     p1_super_k=None,
     p1_fanout0=None,
     p1_super_k0=None,
-    shade_gather="row",
-    shade_window_k=16,
     compact_narrow=0,
     agg_cap=4096,
     fan_order="raster",
@@ -114,12 +112,10 @@ def prepare_cpi(
     tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
     ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
     fan_order="raster", interpret=False, refine=False, replay_cap=0,
-    rx_geom_on_device=False, shade_gather="row", shade_window_k=16,
-    compact_narrow=0, agg_cap=4096`` (``shade_gather="window"`` =
-    winner-cluster block
-    gather + one-hot MXU extraction for hit shading,
-    engine/shade_gather.py; ``compact_narrow=N`` = gather live ray tiles
-    of nearly-dead late segments into a ceil(tiles/N)-tile block).
+    rx_geom_on_device=False,
+    compact_narrow=0, agg_cap=4096`` (``compact_narrow=N`` = gather live
+    ray tiles of nearly-dead late segments into a ceil(tiles/N)-tile
+    block).
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
@@ -130,27 +126,24 @@ def prepare_cpi(
         if preset not in PRESETS:
             raise ValueError(f"unknown preset {preset!r}; available: {sorted(PRESETS)}")
         opts.update(PRESETS[preset])
+    if preset == "production":
+        from rts_tpu.ops.cluster_trace import nondefault_experiment_flags
+
+        stray = nondefault_experiment_flags()
+        if stray:
+            import warnings
+
+            warnings.warn(
+                f"preset='production' with non-default kernel experiment "
+                f"env flags {stray} — results stay correct (FLOOR refuses "
+                f"at import) but timings are not the measured production "
+                f"configuration",
+                stacklevel=2,
+            )
     unknown = set(options) - set(opts)
     if unknown:
         raise TypeError(f"prepare_cpi() got unexpected options {sorted(unknown)}")
     opts.update(options)
-    if (
-        (opts["compact_narrow"] > 1 or opts["compact_narrow"] == -1)
-        and opts["shade_gather"] == "window"
-        and not opts["interpret"]
-    ):
-        # The r3j hardware bisect (docs/PERF.md) pinned a deterministic
-        # TPU-only miscompile to exactly this flag pair: pulse 0 of a
-        # lax.map CPI loses all receptions (semantics are proven
-        # bit-identical in interpret mode — tests/test_narrow.py).  The
-        # window gather is also a measured ~3% LOSS in situ, so there is
-        # no reason to combine them; refuse rather than silently corrupt.
-        raise ValueError(
-            "compact_narrow>1 with shade_gather='window' miscompiles on "
-            "TPU (deterministic lost receptions on the first pulse; see "
-            "docs/PERF.md 'r3j combo bisect'). Use shade_gather='row' "
-            "with compact_narrow, or interpret=True for CPU testing."
-        )
     strict_parity = opts["strict_parity"]
     tri_chunk = opts["tri_chunk"]
     pad_tris_to = opts["pad_tris_to"]
@@ -170,9 +163,20 @@ def prepare_cpi(
             "replay needs the f64 host receiver centres for its residuals"
         )
     rcs_angles = opts["rcs_angles"]
+    needs_angles = any(
+        not getattr(t.rcs_model, "aspect_free", False) for t in world.targets
+    )
     if rcs_angles is None:
-        rcs_angles = any(
-            not getattr(t.rcs_model, "aspect_free", False) for t in world.targets
+        rcs_angles = needs_angles
+    elif not rcs_angles and needs_angles:
+        # An aspect-dependent RCS model (e.g. PlateRCS) evaluated with
+        # rcs_angles=False would silently read the -1e6 sentinel angle
+        # sums and corrupt received power — refuse.
+        raise ValueError(
+            "rcs_angles=False but some target's rcs_model is aspect-"
+            "dependent (aspect_free is not True); its RCS would be "
+            "evaluated on sentinel angles. Drop the override or use an "
+            "aspect-free RCS model."
         )
     trans = world.transmitters[tx_index]
     signal = TransmitterPulse()
@@ -351,8 +355,6 @@ def prepare_cpi(
         p1_super_k=opts["p1_super_k"],
         p1_fanout0=opts["p1_fanout0"],
         p1_super_k0=opts["p1_super_k0"],
-        shade_gather=opts["shade_gather"],
-        shade_window_k=opts["shade_window_k"],
         compact_narrow=opts["compact_narrow"],
         agg_cap=opts["agg_cap"],
         fan_order=fan_order,

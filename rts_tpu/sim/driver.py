@@ -104,7 +104,7 @@ def run(
     The analogue of calling ``rs::RTS(world, MaxThreads, MaxBlocks)``;
     grid-shape knobs are replaced by the engine's ``tri_chunk`` tile size.
     Extra keyword options pass through to :class:`TraceConfig` (e.g.
-    ``ray_tile``, ``shade_gather``, ``compact_narrow``).
+    ``ray_tile``, ``compact_narrow``).
     """
     cfg = TraceConfig.from_parameters(
         params, strict_parity=strict_parity, tri_chunk=tri_chunk,

@@ -145,8 +145,12 @@ S = args.segs
 full_on = timed(f"full {S}-seg, rcs_angles=ON ", build_stage(S, CFG_ON))
 full_off = timed(f"full {S}-seg, rcs_angles=OFF", build_stage(S, CFG_OFF))
 
+# NOTE: after the r3 sector-form rewrite the relaxed miss path calls no
+# _atan2 at all, and with rcs_angles=False the hit-path calls are elided
+# too — this stage only measures anything under strict_parity or with
+# rcs_angles=True; at the production config expect ~0.
 wf._atan2 = lambda y, x: y * 0.5 + x * 0.25
-noatan = timed("  OFF - miss atan2", build_stage(S, CFG_OFF))
+noatan = timed("  OFF - miss atan2 (expect ~0: sector form)", build_stage(S, CFG_OFF))
 wf._atan2 = _orig_atan2
 
 nospawn = timed("  OFF - spawn machinery", build_stage(S, CFG_OFF, spawn=False))

@@ -47,11 +47,10 @@ base, batch, cfg, spec = B.build(bargs)[:4]
 P = args.pulses
 
 import rts_tpu.ops as ops_mod
-import rts_tpu.engine.shade_gather as sg_mod
 import rts_tpu.engine.wavefront as wf
 from rts_tpu.engine import cpi as cpi_mod
 
-_orig_gather = sg_mod.gather_shade
+_orig_gather = wf._shade_rows
 _orig_scatter = wf._scatter_col
 _orig_miss = wf._process_miss
 _orig_hit = wf._process_hit
@@ -77,7 +76,7 @@ def timed(name):
 
 
 def restore():
-    sg_mod.gather_shade = _orig_gather
+    wf._shade_rows = _orig_gather
     wf._scatter_col = _orig_scatter
     wf._process_miss = _orig_miss
     wf._process_hit = _orig_hit
@@ -95,10 +94,6 @@ def _min_hit(state, bufs, hit, hit_mask, scene, tx_origin, cfg_, n3, spawn=True)
                        ray_length=state.ray_length + hit_t),
         bufs,
     )
-
-
-class _FakeHit:
-    pass
 
 
 def _stub_kernel(origin, direction, tmin, tri_pack, mn, mx, sort_origin=None, **kw):
@@ -133,7 +128,7 @@ wf._scatter_col = lambda buf, col, val, mask: buf
 nosc = timed("  - path/tri_seq scatters")
 restore()
 
-sg_mod.gather_shade = lambda table, tri, cfg_: jnp.zeros(
+wf._shade_rows = lambda table, tri: jnp.zeros(
     (table.shape[1], tri.shape[0]), table.dtype
 )
 nog = timed("  - shade gather")

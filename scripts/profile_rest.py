@@ -75,7 +75,6 @@ if jax.devices()[0].platform != "tpu":
 
 import rts_tpu.engine.compact as compact_mod
 import rts_tpu.engine.cpi as cpi_mod
-import rts_tpu.engine.shade_gather as sg_mod
 import rts_tpu.engine.wavefront as wf
 from rts_tpu.engine.fan import generate_fan_c
 
@@ -84,7 +83,7 @@ _orig = dict(
     trig=wf._cart_to_sph2,
     miss=wf._process_miss,
     scatters=wf._scatter_col,
-    gather=sg_mod.gather_shade,
+    gather=wf._shade_rows,
     norm=wf.normalize3c,
     compact=compact_mod.received_first_idx,
     post=cpi_mod.postprocess,
@@ -112,7 +111,7 @@ _PATCH = dict(
     trig=lambda v: (v[0], v[2]),
     miss=_miss_min,
     scatters=lambda buf, col, value, mask: buf,
-    gather=lambda table, tri, cfg_: jnp.zeros(
+    gather=lambda table, tri: jnp.zeros(
         (table.shape[1], tri.shape[0]), table.dtype
     ),
     norm=lambda v: v,
@@ -126,7 +125,7 @@ def apply(disabled):
     wf._cart_to_sph2 = _PATCH["trig"] if "trig" in disabled else _orig["trig"]
     wf._process_miss = _PATCH["miss"] if "miss" in disabled else _orig["miss"]
     wf._scatter_col = _PATCH["scatters"] if "scatters" in disabled else _orig["scatters"]
-    sg_mod.gather_shade = _PATCH["gather"] if "gather" in disabled else _orig["gather"]
+    wf._shade_rows = _PATCH["gather"] if "gather" in disabled else _orig["gather"]
     wf.normalize3c = _PATCH["norm"] if "norm" in disabled else _orig["norm"]
     compact_mod.received_first_idx = (
         _PATCH["compact"] if "compact" in disabled else _orig["compact"]

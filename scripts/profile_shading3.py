@@ -48,7 +48,6 @@ bargs = argparse.Namespace(
 base, batch, cfg, spec = B.build(bargs)[:4]
 P = args.pulses
 
-import rts_tpu.engine.shade_gather as sg_mod
 import rts_tpu.engine.wavefront as wf
 from rts_tpu.engine.animate import animate_packed
 from rts_tpu.engine.fan import generate_fan
@@ -60,7 +59,7 @@ fan0 = generate_fan(cfg.num_rays, (batch.tx_dir[0, 0], batch.tx_dir[0, 1]), spec
 l = fan0.shape[0]
 rxg0 = jax.tree.map(lambda x: x[0], batch.rx_geom)
 
-_orig_gather = sg_mod.gather_shade
+_orig_gather = wf._shade_rows
 _orig_scatter = wf._scatter_col
 _orig_miss = wf._process_miss
 _orig_hit = wf._process_hit
@@ -132,8 +131,8 @@ def timed(name, fn, n=3):
 
 
 def with_patches(gather=True, scatter=True, miss=True):
-    sg_mod.gather_shade = _orig_gather if gather else (
-        lambda table, tri, cfg_: jnp.zeros((table.shape[1], tri.shape[0]), table.dtype)
+    wf._shade_rows = _orig_gather if gather else (
+        lambda table, tri: jnp.zeros((table.shape[1], tri.shape[0]), table.dtype)
     )
     wf._scatter_col = _orig_scatter if scatter else (
         lambda buf, col, val, mask: buf

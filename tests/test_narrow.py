@@ -114,12 +114,12 @@ class TestNarrowSegments:
         assert 1 <= len(live_tiles) <= 8, "scene no longer collapses for the auto budget"
 
     def test_combo_features_bit_identical(self):
-        """narrow + mt_tail + window shading TOGETHER over a multi-pulse
-        CPI: the r3h hardware run saw exactly this combo lose one pulse's
-        receptions while every single feature was clean — if that were a
-        flag-interaction logic bug it must reproduce here; passing pins
-        the combo's semantics so the hardware deviation can only be a
-        backend/codegen issue (scripts/bisect_combo.py)."""
+        """narrow + mt_tail TOGETHER over a multi-pulse CPI must stay
+        bit-identical to the plain engine (flag interactions share the
+        tile gather/scatter machinery).  The third r3 flag this combo
+        test once covered, shade_gather='window', was excised in r4
+        (measured −3% in situ + a TPU backend miscompile with narrow —
+        docs/PERF.md 'r3j combo bisect')."""
         from rts_tpu.sim.cpi import prepare_cpi, trace_cpi
         from test_driver import make_world
 
@@ -132,8 +132,7 @@ class TestNarrowSegments:
         b0, batch0, cfg0, spec0 = prepare_cpi(w, params, **kw)
         ref = trace_cpi(b0, batch0, cfg0, spec0)
         b1, batch1, cfg1, spec1 = prepare_cpi(
-            w, params, compact_narrow=2, mt_tail=True,
-            shade_gather="window", **kw,
+            w, params, compact_narrow=2, mt_tail=True, **kw,
         )
         combo = trace_cpi(b1, batch1, cfg1, spec1)
         got = np.asarray(ref.received) >= 0

@@ -76,22 +76,6 @@ def test_sharded_clustered_kernel():
     _assert_identical(single, sharded)
 
 
-def test_sharded_window_shade_gather():
-    """shade_gather='window' under shard_map: per-device lane blocks
-    re-tile independently, but the gather is value-identical to the row
-    path, so sharded must stay bit-identical to single-chip."""
-    w = make_world(num_pulses=4)
-    params = Parameters(num_rays=2, max_refl_depth=2)
-    base, batch, cfg, spec = prepare_cpi(
-        w, params, dtype=jnp.float32, accel="cluster", cluster_size=128,
-        ray_tile=128, interpret=True, shade_gather="window", shade_window_k=4,
-    )
-    single = trace_cpi(base, batch, cfg, spec)
-    mesh = make_mesh(2, 2)
-    sharded = trace_cpi_sharded(base, shard_batch(batch, mesh), cfg, spec, mesh)
-    _assert_identical(single, sharded)
-
-
 def test_sharded_compact_narrow():
     """compact_narrow under shard_map: each device's lane block decides
     its own narrow/full branch from its local live tiles, but both

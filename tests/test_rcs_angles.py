@@ -35,6 +35,13 @@ def test_auto_detection():
     w.targets[0].rcs_model = SphereRCS(1.0)
     _, _, cfg, _ = prepare_cpi(w, params)
     assert cfg.rcs_angles is False
+    # forcing OFF with an aspect-dependent model would evaluate the RCS
+    # on the -1e6 sentinel angle sums — must refuse, not corrupt
+    w.targets[0].rcs_model = PlateRCS(0.5, 0.5)
+    import pytest
+
+    with pytest.raises(ValueError, match="aspect"):
+        prepare_cpi(w, params, rcs_angles=False)
 
 
 def test_elision_bit_identical_trace():
