@@ -134,7 +134,8 @@ def build(args):
         import numpy as _np
 
         dirs = _np.asarray(
-            generate_fan(3, (0.0, 0.0), (0.15, 0.15, 0.0), dtype=jnp.float64)
+            generate_fan(3, (0.0, 0.0), (0.15, 0.15, 0.0), dtype=jnp.float32),
+            _np.float64,
         )  # [27, 3]; ray = iz*9 + iy*3 + ix, directions constant in ix
         subdivs = max(0, round(math.log(max(args.tris // 4, 20) / 20.0, 4.0)))
         for node, rng, spd in (
@@ -183,6 +184,7 @@ def build(args):
         mt_union=args.mt_union,
         mt_tail=getattr(args, "mt_tail", False),
         cand_order=args.cand_order,
+        resident_cap=getattr(args, "resident_cap", 0),
         p1_fanout=getattr(args, "p1_fanout", None),
         p1_super_k=getattr(args, "p1_super_k", None),
         p1_fanout0=getattr(args, "p1_fanout0", None),
@@ -236,6 +238,12 @@ def main():
         "--mt-tail", action=argparse.BooleanOptionalAction, default=False,
         help="half-width tail window: pad candidate lists to G/2 and evaluate "
         "one G/2-wide window when the remainder fits (trims padded columns)",
+    )
+    ap.add_argument(
+        "--resident-cap", type=int, default=0,
+        help="keep up to N live clusters VMEM-resident; candidate windows "
+        "assemble by VMEM-local copies instead of HBM DMAs (0 = off; "
+        "live-set overflow falls back to the hierarchical sweep)",
     )
     ap.add_argument(
         "--cand-order", choices=("near", "mask"), default="near",

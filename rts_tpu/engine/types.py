@@ -146,6 +146,12 @@ class TraceConfig:
     # distance) or "mask" (grouped by sub-block overlap bitmask so
     # G-window union gates stay tight; near-to-far within equal masks).
     cand_order: str = "near"
+    # >0: gather the union of all tiles' candidate clusters (the live
+    # set — ~53 clusters on the 63³ bench) into a VMEM-resident pack
+    # once per segment; candidate windows then assemble by VMEM-local
+    # copies instead of HBM DMAs.  Bit-identical; live sets beyond the
+    # cap fall back to the hierarchical sweep (correct, slow).  0 = off.
+    resident_cap: int = 0
     # Phase-1 hierarchy knobs (None = ops/cluster_trace module defaults):
     # clusters per level-1 supergroup box, and max admitted supergroups
     # per tile (level-2 width = p1_super_k * p1_fanout box slots; tiles

@@ -811,6 +811,7 @@ def trace_fan(
                 mt_group=cfg.mt_group,
                 mt_union=cfg.mt_union,
                 mt_tail=cfg.mt_tail,
+                resident_cap=cfg.resident_cap,
                 cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout,
                 p1_super_k=cfg.p1_super_k,

@@ -274,13 +274,22 @@ def _mt_kernel(
     mt_tail: bool,  # True (with mt_union): pad lists to g/2 and evaluate
     #                 one half-width window when the remainder fits —
     #                 trims the padded-duplicate columns of the last window
+    resident: bool = False,  # candidate windows copy from a VMEM-resident
+    #                 live-cluster pack (cand_ref holds LIVE SLOT ids;
+    #                 live_tab recovers global ids for the tri epilogue);
+    #                 the sweep fallback keeps the HBM pack + pipeline
 ):
+    base_i = 1 if packed_io else 3
+    nshared = 14 if resident else 12
+    sh = refs[base_i : base_i + nshared]
     (mn_ref, mx_ref, gmn_ref, gmx_ref, smn_ref, smx_ref,
-     sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, pack_hbm) = refs[1 if packed_io else 3 : 13 if packed_io else 15]
+     sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, pack_hbm) = sh[:12]
+    if resident:
+        live_ref, live_tab = sh[12], sh[13]
     if packed_io:
         rays_ref = refs[0]
         (out_ref, stats_out, t_out, i_out, b_out, g_out,
-         pack_s, counters, sem) = refs[13:]
+         pack_s, counters, sem) = refs[base_i + nshared:]
         # one (8,RT)->(RT,8) in-register transpose bridges the lane-major
         # HBM pack to the rays-on-sublanes MT evaluation layout; slicing
         # happens on the transposed VALUE (lane-dim REF slices of width
@@ -294,7 +303,7 @@ def _mt_kernel(
         # pattern), minus their per-tile pipeline DMA
     else:
         o_ref, d_ref, tmin_ref = refs[0:3]
-        t_out, i_out, b_out, g_out, stats_out, pack_s, counters, sem = refs[15:]
+        t_out, i_out, b_out, g_out, stats_out, pack_s, counters, sem = refs[base_i + nshared:]
         o = o_ref[:]
         d = d_ref[:]
         tmin = tmin_ref[:, 0]
@@ -339,6 +348,30 @@ def _mt_kernel(
             pack_s.at[:, pl.ds(dst, cs)],
             sem.at[slot],
         )
+
+    if resident:
+        # Candidate-mode fetch from the VMEM-resident live pack: a local
+        # VMEM->VMEM copy (~100s ns vs ~us from HBM) — the DMA-wait slack
+        # inside the window loop is what it removes.  Same semaphores and
+        # start/wait lockstep as the HBM path (a wait without its start
+        # crashes the chip — CLAUDE.md).
+        def get_cdma(slot_id, slot):
+            base = pl.multiple_of(slot_id * cs, cs)
+            dst = pl.multiple_of(slot * cs, cs)
+            return pltpu.make_async_copy(
+                live_ref.at[:, pl.ds(base, cs)],
+                pack_s.at[:, pl.ds(dst, cs)],
+                sem.at[slot],
+            )
+
+        def live_global(slot_id):
+            # SMEM scalar lookup: live slot -> global cluster id (row-packed
+            # [ceil(cap/128), 128] like the other scalar tables)
+            return live_tab[slot_id // 128, jax.lax.rem(slot_id, jnp.int32(128))]
+
+    else:
+        get_cdma = get_dma
+        live_global = lambda slot_id: slot_id
 
     rt = o.shape[0]
     rs = rt // sub_tiles
@@ -564,14 +597,14 @@ def _mt_kernel(
 
                 @pl.when(b < n_pad)
                 def _(b=b):
-                    get_dma(cand_at(b), b).start()
+                    get_cdma(cand_at(b), b).start()
 
             def refill(i, slot):
                 nxt = i + jnp.int32(nbuf)
 
                 @pl.when(nxt < n_pad)
                 def _():
-                    get_dma(cand_at(nxt), slot).start()
+                    get_cdma(cand_at(nxt), slot).start()
 
             g = mt_group
 
@@ -580,14 +613,17 @@ def _mt_kernel(
                 candidate offset ``i`` / scratch slot ``slot``."""
                 ids = [cand_at(i + q) for q in range(m)]
                 for q in range(m):
-                    get_dma(ids[q], slot + q).wait()
+                    get_cdma(ids[q], slot + q).wait()
+                # tri-epilogue ids must be GLOBAL cluster ids; in resident
+                # mode cand_ref holds live-pack slots
+                gids = [live_global(x) for x in ids] if resident else ids
                 if mt_union:
                     # ONE m*cs-wide union-gated MT evaluation
-                    process(ids, slot, bits_list=[bits_at(i + q) for q in range(m)])
+                    process(gids, slot, bits_list=[bits_at(i + q) for q in range(m)])
                 else:
                     # m-unrolled: per-candidate windows/bits (no union waste)
                     for q in range(m):
-                        process([ids[q]], slot + q, bits_list=[bits_at(i + q)])
+                        process([gids[q]], slot + q, bits_list=[bits_at(i + q)])
                 for q in range(m):
                     refill(i + q, slot + q)
 
@@ -1024,7 +1060,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components", "resident_cap"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3] ([3, L] with components=True)
@@ -1052,6 +1088,9 @@ def closest_hit_clustered(
     interpret: bool = False,
     with_stats: bool = False,
     components: bool = False,  # True: origin/direction are [3, L] (engine layout)
+    resident_cap: int = 0,  # >0: keep up to this many live clusters VMEM-
+    #   resident and assemble candidate windows by VMEM-local copies
+    #   (bit-identical; live-set overflow falls back to the sweep)
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32).
 
@@ -1145,12 +1184,55 @@ def closest_hit_clustered(
         tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
 
     f32 = jnp.float32
+    resident = resident_cap > 0 and candidates > 0
+    live_pack = live_tab = None
     if candidates > 0:
         cand, meta, bits = _tile_candidates(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
             cand_order, p1_fanout, p1_super_k, p1_fanout0, p1_super_k0,
         )
         k_width = candidates
+        if resident:
+            # RESIDENT live-cluster pack (docs/PERF.md "r4 successor-family
+            # spike"): the union of all tiles' candidates is tiny on
+            # footprint-limited fans (53 clusters at the 63³ bench), so
+            # the whole candidate working set is gathered ONCE into a
+            # [16, cap*cs] VMEM block and windows assemble by VMEM-local
+            # copies — no HBM DMA latency inside the candidate loop.
+            # cand is remapped to live-pack slots; live_tab recovers the
+            # global ids for the kernel's tri epilogue.  If the live set
+            # exceeds the cap, every tile is flagged for the hierarchical
+            # sweep fallback (correct, slow — size the cap generously).
+            flat = cand.reshape(-1)
+            s = jnp.sort(flat)
+            firstu = jnp.concatenate(
+                [jnp.ones((1,), bool), s[1:] != s[:-1]]
+            )
+            nlive = jnp.sum(firstu.astype(jnp.int32))
+            rank = jnp.cumsum(firstu.astype(jnp.int32))  # 1-based unique rank
+            jj = jnp.arange(resident_cap, dtype=jnp.int32)
+            idx = jnp.searchsorted(rank, jj + 1, side="left").astype(jnp.int32)
+            live_sorted = jnp.where(
+                jj < nlive,
+                s[jnp.clip(idx, 0, s.shape[0] - 1)],
+                jnp.int32(2**30),
+            )
+            slots = jnp.clip(
+                jnp.searchsorted(live_sorted, cand).astype(jnp.int32),
+                0, resident_cap - 1,
+            )
+            live_ovf = (nlive > resident_cap).astype(jnp.int32)
+            meta = meta.at[:, 1].set(jnp.maximum(meta[:, 1], live_ovf))
+            cand = slots
+            # candidates are always REAL clusters (padding boxes are +inf
+            # and never overlap), so clip the sentinel tail to c-1
+            live_ids = jnp.clip(live_sorted, 0, c - 1)
+            live_cols = (
+                live_ids[:, None] * cluster_size
+                + jnp.arange(cluster_size, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+            live_pack = tri_pack.astype(jnp.float32)[:, live_cols]
+            live_tab = _pack_smem_rows(live_ids[:, None])
     else:
         # sweep-only mode: dummy lists, overflow flag forces the sweep path
         n_t = l_pad // rt
@@ -1178,6 +1260,7 @@ def closest_hit_clustered(
         cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
         k_max=candidates, mt_group=mt_group, mt_union=mt_union, mt_tail=mt_tail,
+        resident=resident,
     )
 
     n_tiles = l_pad // rt
@@ -1228,6 +1311,10 @@ def closest_hit_clustered(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if resident:
+        # live pack: full VMEM block with a constant index map — the
+        # pipeline fetches it once, grid steps revisit the same block
+        shared_specs += [full(), pl.BlockSpec(memory_space=pltpu.SMEM)]
     dma_scratch = [
         pltpu.VMEM((16, _dma_depth(candidates, mt_group) * cluster_size), f32),
         pltpu.SMEM((2,), jnp.int32),
@@ -1241,6 +1328,9 @@ def closest_hit_clustered(
         cand_c = _pack_smem_rows(cand_c)
         meta_c = _pack_smem_rows(meta_c)
         bits_c = _pack_smem_rows(bits_c)
+        tail = (tri_pack.astype(f32),)
+        if resident:
+            tail = tail + (live_pack, live_tab)
         if packed_io:
             out_shape = [
                 jax.ShapeDtypeStruct((8, lanes_c), f32),
@@ -1255,7 +1345,7 @@ def closest_hit_clustered(
                 scratch_shapes=[pltpu.VMEM((rt, 1), f32) for _ in range(4)]
                 + dma_scratch,
                 interpret=interpret,
-            )(rays_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
+            )(rays_c, *shared, cand_c, meta_c, bits_c, *tail)
         out_shape = [
             jax.ShapeDtypeStruct((lanes_c, 1), f32),
             jax.ShapeDtypeStruct((lanes_c, 1), jnp.int32),
@@ -1271,7 +1361,7 @@ def closest_hit_clustered(
             out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
             scratch_shapes=dma_scratch,
             interpret=interpret,
-        )(*rays_c, *shared, cand_c, meta_c, bits_c, tri_pack.astype(f32))
+        )(*rays_c, *shared, cand_c, meta_c, bits_c, *tail)
 
     # The row-packed candidate/meta/bits lists live in SMEM; chunk the
     # grid so very large fans (thousands of tiles) never exceed the

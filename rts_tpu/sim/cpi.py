@@ -72,6 +72,7 @@ _PREPARE_DEFAULTS = dict(
     mt_union=True,
     mt_tail=False,
     cand_order="near",
+    resident_cap=0,
     p1_fanout=None,
     p1_super_k=None,
     p1_fanout0=None,
@@ -112,10 +113,11 @@ def prepare_cpi(
     tri_chunk=512, pad_tris_to=1, accel="brute", cluster_size=256,
     ray_tile=256, candidates=64, sub_tiles=4, mt_group=2,
     fan_order="raster", interpret=False, refine=False, replay_cap=0,
-    rx_geom_on_device=False,
+    rx_geom_on_device=False, resident_cap=0,
     compact_narrow=0, agg_cap=4096`` (``compact_narrow=N`` = gather live
     ray tiles of nearly-dead late segments into a ceil(tiles/N)-tile
-    block).
+    block; ``resident_cap=N`` = VMEM-resident live-cluster pack, a
+    measured loss on the bench — docs/PERF.md r4).
 
     ``refine=True`` additionally ships the double-single residuals and
     per-pulse fan rotations the extended-precision replay needs
@@ -351,6 +353,7 @@ def prepare_cpi(
         mt_union=opts["mt_union"],
         mt_tail=opts["mt_tail"],
         cand_order=opts["cand_order"],
+        resident_cap=opts["resident_cap"],
         p1_fanout=opts["p1_fanout"],
         p1_super_k=opts["p1_super_k"],
         p1_fanout0=opts["p1_fanout0"],

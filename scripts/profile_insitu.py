@@ -59,13 +59,17 @@ _orig_chc = ops_mod.closest_hit_clustered
 
 def run_once():
     out = cpi_mod.trace_cpi(base, batch, cfg, spec)
-    return float(np.asarray(out.power, np.float64).sum())
+    # device-side reduction + SCALAR readback: np.asarray(out.power)
+    # would drag the whole [P, lanes] array over the tunnel (~16 MB at
+    # P=16 ≈ +22 ms/pulse of pure transfer — the r4 insitu ghost)
+    return float(out.power.sum())
 
 
 def timed(name):
     cpi_mod._trace_cpi_jit.clear_cache()
     jax.clear_caches()
     run_once()  # compile
+    run_once()  # tunnel warm-up discard (post-compile runs can be slow)
     best = np.inf
     for _ in range(args.repeat):
         t0 = time.perf_counter()
@@ -141,6 +145,11 @@ restore()
 ops_mod.closest_hit_clustered = _stub_kernel
 nok = timed("  - kernel (+phase1) -> all-hit stub")
 restore()
+
+# drift check: if the session's full-run time moved, marginals are junk
+full2 = timed("full production CPI (re-measure)")
+drift = abs(full2 - full) / full
+print(f"# drift: {drift * 100:.1f}% (marginals unreliable above ~5%)")
 
 print(
     f"# in-situ marginals (ms/pulse, {args.rays}^3, P={P}): "

@@ -3,6 +3,23 @@ devices so multi-chip sharding paths are exercised without TPU hardware
 (SURVEY.md §4 item 4)."""
 
 import os
+import sys
+
+# The axon PJRT plugin .so is loaded into EVERY python process at
+# interpreter startup (/root/.axon_site/sitecustomize.py) whenever
+# PALLAS_AXON_POOL_IPS is set — including CPU-only test runs, where its
+# native threads share the heap with the XLA CPU client.  The full suite
+# reproducibly died with SIGSEGV/SIGABRT (inside executable.serialize()
+# with the compile cache on, elsewhere with it off) after ~160
+# accumulated tests, and only in plugin-loaded processes.  A conftest
+# cannot unload an .so, so re-exec the interpreter once without the env
+# var (sys.orig_argv preserves `-m pytest ...` exactly); the re-exec'd
+# process skips plugin registration entirely and the branch below is
+# not taken again.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    os.execve(sys.executable, sys.orig_argv, env)
 
 # Force CPU: the surrounding environment pre-sets JAX_PLATFORMS=axon (the
 # tunnelled TPU), which is slow to compile and has no real float64 — unit

@@ -240,6 +240,20 @@ def test_candidate_modes_agree():
                 np.asarray(getattr(out_p, f)), np.asarray(getattr(outs[64], f)),
                 err_msg=f"{f} p1_fanout={fanout} p1_super_k={superk}",
             )
+    # resident live-cluster pack: windows assemble from a VMEM-resident
+    # gathered pack (remapped candidate slots + global-id recovery) and
+    # must be BIT-identical; a cap below the live-set size must fall back
+    # to the sweep (still identical)
+    for cap, g in ((256, 8), (64, 4), (2, 8)):
+        out_r = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, mt_group=g, resident_cap=cap, interpret=True,
+        )
+        for f in ("found", "t", "tri", "beta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_r, f)), np.asarray(getattr(outs[64], f)),
+                err_msg=f"{f} resident_cap={cap} mt_group={g}",
+            )
     # fine sub-block gating, including sub_tiles=32 whose top block rides
     # the int32 SIGN bit (weights 1<<31; arithmetic-shift extraction)
     for st in (16, 32):
