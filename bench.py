@@ -24,6 +24,27 @@ import sys
 import time
 
 
+# Scene-aware traversal defaults (None CLI value = use these).  Terrain
+# (sheet geometry, dense tile-level overlap) prefers fine clusters;
+# sphere-SHELL targets need coarse clusters + wide phase-1 admission so
+# whole shells fit the candidate lists (docs/PERF.md r6: the moving
+# scene was 41x slower on the terrain knobs — every sphere tile
+# overflowed into the scalar sweep).
+_SCENE_DEFAULTS = {
+    "moving": dict(cluster_size=1024, candidates=128, mt_group=1,
+                   p1_fanout=16, p1_super_k=32),
+}
+_BASE_DEFAULTS = dict(cluster_size=128, candidates=64, mt_group=8,
+                      p1_fanout=8, p1_super_k=12)
+
+
+def _scene_default(args, name):
+    v = getattr(args, name, None)
+    if v is not None:
+        return v
+    return _SCENE_DEFAULTS.get(args.scene, {}).get(name, _BASE_DEFAULTS[name])
+
+
 def build(args):
     import jax.numpy as jnp
     import numpy as np
@@ -176,17 +197,17 @@ def build(args):
         dtype=jnp.float32,
         tri_chunk=args.tri_chunk,
         accel=args.accel,
-        cluster_size=args.cluster_size,
-        ray_tile=args.ray_tile,
-        candidates=args.candidates,
-        sub_tiles=args.sub_tiles,
-        mt_group=args.mt_group,
+        cluster_size=_scene_default(args, "cluster_size"),
+        ray_tile=args.ray_tile if args.ray_tile is not None else 512,
+        candidates=_scene_default(args, "candidates"),
+        sub_tiles=args.sub_tiles if args.sub_tiles is not None else 8,
+        mt_group=_scene_default(args, "mt_group"),
         mt_union=args.mt_union,
         mt_tail=getattr(args, "mt_tail", False),
         cand_order=args.cand_order,
         resident_cap=getattr(args, "resident_cap", 0),
-        p1_fanout=getattr(args, "p1_fanout", None),
-        p1_super_k=getattr(args, "p1_super_k", None),
+        p1_fanout=_scene_default(args, "p1_fanout"),
+        p1_super_k=_scene_default(args, "p1_super_k"),
         p1_fanout0=getattr(args, "p1_fanout0", None),
         p1_super_k0=getattr(args, "p1_super_k0", None),
         compact_narrow=getattr(args, "compact_narrow", 0),
@@ -212,10 +233,15 @@ def main():
     ap.add_argument("--tri-chunk", type=int, default=2048)
     ap.add_argument("--scene", choices=("sphere", "terrain", "dielectric", "moving"), default="terrain")
     ap.add_argument("--accel", choices=("brute", "cluster"), default="cluster")
-    ap.add_argument("--cluster-size", type=int, default=128)
-    ap.add_argument("--ray-tile", type=int, default=512)
+    ap.add_argument("--cluster-size", type=int, default=None, help="triangles per Morton cluster (None = scene default: 128; moving 1024)")
     ap.add_argument(
-        "--candidates", type=int, default=64,
+        "--ray-tile", type=int, default=None,
+        help="ray rows per kernel grid step (default 512; the 31^3 cpi256 "
+        "leg auto-picks 256 with sub_tiles=4 — measured 2.42 vs 2.59 s, "
+        "docs/PERF.md r6a — unless set explicitly)",
+    )
+    ap.add_argument(
+        "--candidates", type=int, default=None,
         help="per-tile candidate-list width (two-phase traversal); 0 = hierarchical sweep",
     )
     ap.add_argument(
@@ -223,11 +249,11 @@ def main():
         help="fan tile order (morton2 = compact angular patches, launch-range axis minor)",
     )
     ap.add_argument(
-        "--sub-tiles", type=int, default=8,
+        "--sub-tiles", type=int, default=None,
         help="slab-gated ray sub-blocks per tile in the MT kernel",
     )
     ap.add_argument(
-        "--mt-group", type=int, default=8,
+        "--mt-group", type=int, default=None,
         help="candidates per MT evaluation window in the kernel (1/2/4/8/16/32)",
     )
     ap.add_argument(
@@ -251,11 +277,11 @@ def main():
         "so G-window union gates stay tight (model: 0.81x MT pairs)",
     )
     ap.add_argument(
-        "--p1-fanout", type=int, default=8,
+        "--p1-fanout", type=int, default=None,
         help="phase-1 clusters per supergroup box (default: module constant 16)",
     )
     ap.add_argument(
-        "--p1-super-k", type=int, default=12,
+        "--p1-super-k", type=int, default=None,
         help="phase-1 admitted supergroups per tile; level-2 width = K*fanout "
         "slots (default 16; bench terrain admits ~6.2, max 11)",
     )
@@ -349,6 +375,12 @@ def main():
         # the tracked cpi256 metric stays at the 31^3 fan for continuity
         # with rounds 1-2 (the headline rays/s metric uses --rays)
         args256.rays = 31
+        # measured 31^3 preference (docs/PERF.md r6a: 2.421 vs 2.585 s):
+        # finer ray tiles win at 58-tile fans; explicit flags override
+        if args.ray_tile is None:
+            args256.ray_tile = 256
+        if args.sub_tiles is None:
+            args256.sub_tiles = 4
         b256, batch256, cfg256, spec256 = build(args256)[:4]
         out256 = trace_cpi(b256, batch256, cfg256, spec256)
         float(out256.power.sum())

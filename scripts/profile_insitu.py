@@ -31,15 +31,18 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--pulses", type=int, default=8)
 ap.add_argument("--rays", type=int, default=63)
 ap.add_argument("--repeat", type=int, default=3)
+ap.add_argument("--ray-tile", type=int, default=512)
+ap.add_argument("--sub-tiles", type=int, default=8)
+ap.add_argument("--refine", action="store_true", help="profile with ds replay ON")
 args = ap.parse_args()
 
 bargs = argparse.Namespace(
     tris=1000000, rays=args.rays, pulses=args.pulses, repeat=args.repeat,
     tri_chunk=2048, scene="terrain", accel="cluster", cluster_size=128,
-    ray_tile=512, candidates=64, sub_tiles=8,
+    ray_tile=args.ray_tile, candidates=64, sub_tiles=args.sub_tiles,
     mt_group=8, mt_union=True, cand_order="near",
     p1_fanout=8, p1_super_k=12, p1_fanout0=None, p1_super_k0=None,
-    fan_order="raster", refine=False, replay_cap=256,
+    fan_order="raster", refine=args.refine, replay_cap=256,
     compact_narrow=-1, agg_cap=4096,
     tiny=False, cpi256=False, stats=False,
 )

@@ -110,6 +110,29 @@ def test_cluster_reorder_pads_and_preserves():
     np.testing.assert_allclose(a, b)
 
 
+def test_cluster_reorder_is_target_major():
+    """Morton codes are computed on the BASE mesh, where every target
+    sits at its model origin — a global sort interleaves co-located
+    targets and every animated cluster AABB then spans ALL targets
+    (docs/PERF.md r6: the 4-sphere moving scene collapsed into the
+    scalar sweep, 41x slower).  cluster_reorder must keep triangles
+    TARGET-MAJOR: each target's triangles contiguous, so at most one
+    cluster straddles each target boundary."""
+    mesh, _ = sphere_mesh(2, 10.0)
+    # two targets whose BASE meshes are co-located at the origin
+    scene = compile_scene([mesh, mesh], [1.0, 0.8], [1.0, 1.0])
+    out = cluster_reorder(scene, cluster_size=CS)
+    tt = out.tri_target[: out.num_real_tris]
+    # target-major: target ids are non-decreasing over the real range
+    assert (np.diff(tt) >= 0).all(), "targets interleaved after reorder"
+    # within each target, the order is still Morton (locality): check the
+    # first target's slice equals a pure-Morton sort of its own triangles
+    n0 = int((tt == 0).sum())
+    own = morton_order(out.tri_verts[:n0])
+    # Morton of an already-Morton-sorted slice is the identity
+    assert (own == np.arange(n0)).all()
+
+
 def test_kernel_matches_bruteforce():
     scene = make_scene()
     dev = scene_to_device(scene, dtype=jnp.float32)
