@@ -213,8 +213,11 @@ def build(args):
         compact_narrow=getattr(args, "compact_narrow", 0),
         fan_order=args.fan_order,
         refine=args.refine,
-        replay_cap=args.replay_cap,
-        agg_cap=getattr(args, "agg_cap", 4096),
+        # caps sized to the bench scenes' received counts (~N lanes/pulse
+        # at the N^3 fans, 2x headroom; overflow is guarded/exact) —
+        # 256/4096 measured -3.5% on the headline (docs/PERF.md r6c)
+        replay_cap=args.replay_cap if args.replay_cap is not None else 128,
+        agg_cap=args.agg_cap if getattr(args, "agg_cap", None) is not None else 1024,
         rcs_angles=getattr(args, "rcs_angles", None),
     )
     return base, batch, cfg, spec, int(base.tri_verts.shape[0])
@@ -315,13 +318,13 @@ def main():
         help="double-single path replay ON (the production 1e-6 power/phase config)",
     )
     ap.add_argument(
-        "--replay-cap", type=int, default=256,
+        "--replay-cap", type=int, default=None,
         help="compact received lanes and replay only this many (0 = all); "
         "the bench scenes receive ~31 lanes per pulse, and the overflow "
         "guard (sim.check_replay_overflow) makes a tight cap safe",
     )
     ap.add_argument(
-        "--agg-cap", type=int, default=4096,
+        "--agg-cap", type=int, default=None,
         help="aggregate a compacted received-lane block instead of the "
         "full fan (exact: lax.cond falls back to full-lane aggregation "
         "on overflow); 0 = full-lane aggregation",
@@ -375,12 +378,21 @@ def main():
         # the tracked cpi256 metric stays at the 31^3 fan for continuity
         # with rounds 1-2 (the headline rays/s metric uses --rays)
         args256.rays = 31
-        # measured 31^3 preference (docs/PERF.md r6a: 2.421 vs 2.585 s):
-        # finer ray tiles win at 58-tile fans; explicit flags override
+        # measured 31^3 preferences (docs/PERF.md r6c sweep): finer ray
+        # tiles + shorter candidate lists + caps sized to the ~31
+        # received lanes/pulse (the overflow guards keep tight caps
+        # safe/exact) — 2.585 s at the 63^3 knobs, 1.854 tuned.
+        # Explicit flags override.
         if args.ray_tile is None:
-            args256.ray_tile = 256
+            args256.ray_tile = 128
         if args.sub_tiles is None:
-            args256.sub_tiles = 4
+            args256.sub_tiles = 2
+        if args.candidates is None:
+            args256.candidates = 32
+        if args.replay_cap is None:
+            args256.replay_cap = 64
+        if getattr(args, "agg_cap", None) is None:
+            args256.agg_cap = 1024
         b256, batch256, cfg256, spec256 = build(args256)[:4]
         out256 = trace_cpi(b256, batch256, cfg256, spec256)
         float(out256.power.sum())

@@ -25,13 +25,15 @@ import bench as B
 ap = argparse.ArgumentParser()
 ap.add_argument("--pulses", type=int, default=8)
 ap.add_argument("--rays", type=int, default=63)
+ap.add_argument("--ray-tile", type=int, default=512)
+ap.add_argument("--sub-tiles", type=int, default=8)
 args = ap.parse_args()
 
 # production defaults (bench.py main defaults, refine toggled per stage)
 bargs = argparse.Namespace(
     tris=1000000, rays=args.rays, pulses=args.pulses, repeat=2, tri_chunk=2048,
     scene="terrain", accel="cluster", cluster_size=128,
-    ray_tile=512, candidates=64, sub_tiles=8,
+    ray_tile=args.ray_tile, candidates=64, sub_tiles=args.sub_tiles,
     mt_group=8, mt_union=True, cand_order="near",
     p1_fanout=8, p1_super_k=12, p1_fanout0=None, p1_super_k0=None,
     compact_narrow=-1, fan_order="raster", refine=True, replay_cap=256,
