@@ -34,8 +34,8 @@ _SCENE_DEFAULTS = {
     "moving": dict(cluster_size=1024, candidates=128, mt_group=1,
                    p1_fanout=16, p1_super_k=32),
 }
-_BASE_DEFAULTS = dict(cluster_size=128, candidates=64, mt_group=8,
-                      p1_fanout=8, p1_super_k=12)
+_BASE_DEFAULTS = dict(cluster_size=128, candidates=48, mt_group=8,
+                      p1_fanout=8, p1_super_k=10)
 
 
 def _scene_default(args, name):

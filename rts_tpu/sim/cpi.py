@@ -35,14 +35,16 @@ PRESETS = {
         accel="cluster",
         cluster_size=128,
         ray_tile=512,
-        candidates=64,
+        candidates=48,
         sub_tiles=8,
         mt_group=8,
-        # phase-1 hierarchy, measured best (docs/PERF.md sweep): 1024-tri
-        # supergroups (fanout 8) with a 12-deep admission cap -> level-2
-        # is only 96 slots; K=10 pays overflow fallbacks, K=16 filler
+        # phase-1 hierarchy, measured best (docs/PERF.md r6d sweep after
+        # the target-major clustering change: cand48+K10 6.86e6 vs
+        # cand64+K12 6.74 at P=16; the r3-era "K=10 pays overflows"
+        # verdict flipped once the cal plate stopped polluting terrain
+        # clusters)
         p1_fanout=8,
-        p1_super_k=12,
+        p1_super_k=10,
         refine=True,
         # replay block size; received lanes beyond the cap keep f32 and
         # check_replay_overflow warns LOUDLY — raise it (or 0 = all)
