@@ -382,13 +382,18 @@ def main():
         # tiles + shorter candidate lists + caps sized to the ~31
         # received lanes/pulse (the overflow guards keep tight caps
         # safe/exact) — 2.585 s at the 63^3 knobs, 1.854 tuned.
-        # Explicit flags override.
-        if args.ray_tile is None:
-            args256.ray_tile = 128
-        if args.sub_tiles is None:
-            args256.sub_tiles = 2
-        if args.candidates is None:
-            args256.candidates = 32
+        # Explicit flags override.  Scenes with their own _SCENE_DEFAULTS
+        # entry (shell targets) keep those: the 31^3 overrides are
+        # terrain-tuned, and e.g. candidates=32 on the moving scene would
+        # re-create the 41x scalar-sweep collapse the wide-admission
+        # defaults exist to prevent.
+        if args.scene not in _SCENE_DEFAULTS:
+            if args.ray_tile is None:
+                args256.ray_tile = 128
+            if args.sub_tiles is None:
+                args256.sub_tiles = 2
+            if args.candidates is None:
+                args256.candidates = 32
         if args.replay_cap is None:
             args256.replay_cap = 64
         if getattr(args, "agg_cap", None) is None:

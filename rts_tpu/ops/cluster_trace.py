@@ -174,12 +174,28 @@ _EXPERIMENT_FLAG_DEFAULTS = {
 
 
 def nondefault_experiment_flags() -> dict:
-    """Env experiment switches currently set away from their defaults."""
-    return {
-        k: _os.environ[k]
-        for k, d in _EXPERIMENT_FLAG_DEFAULTS.items()
-        if _os.environ.get(k, d) != d
-    }
+    """Env experiment switches currently set away from their defaults.
+
+    Values are compared SEMANTICALLY (int() for numeric flags, == "1"
+    for booleans — the same parses the actual reads above use), so a
+    different spelling of a default (e.g. ``RTS_SMEM_LIST_BUDGET=' 524288'``)
+    does not raise a spurious production-preset warning; unparseable
+    values are always reported."""
+    numeric = {"RTS_SMEM_LIST_BUDGET", "RTS_KERNEL_FLOOR"}
+    out = {}
+    for k, d in _EXPERIMENT_FLAG_DEFAULTS.items():
+        raw = _os.environ.get(k, d)
+        if k in numeric:
+            try:
+                differs = int(raw) != int(d)
+            except ValueError:
+                differs = True
+        else:
+            # boolean flags are read as (value == "1") — mirror that
+            differs = (raw == "1") != (d == "1")
+        if differs:
+            out[k] = raw
+    return out
 
 
 def _dma_depth(k_max: int, mt_group: int = 2) -> int:
@@ -1185,6 +1201,19 @@ def closest_hit_clustered(
 
     f32 = jnp.float32
     resident = resident_cap > 0 and candidates > 0
+    if resident:
+        # The live pack is a single [rows, cap*cs] f32 VMEM block; fail
+        # with a sizing message instead of an opaque Mosaic OOM.
+        live_bytes = resident_cap * cluster_size * tri_pack.shape[0] * 4
+        vmem_budget = 12 * 1024 * 1024  # ~16 MB VMEM minus scratch/IO blocks
+        if live_bytes > vmem_budget:
+            raise ValueError(
+                f"resident_cap={resident_cap} needs {live_bytes / 1e6:.1f} MB of "
+                f"VMEM for the live pack ({tri_pack.shape[0]} rows x "
+                f"{resident_cap}*{cluster_size} lanes f32) — over the "
+                f"~{vmem_budget / 1e6:.0f} MB budget; lower resident_cap or "
+                "cluster_size (docs/PERF.md 'r4 successor-family spike')"
+            )
     live_pack = live_tab = None
     if candidates > 0:
         cand, meta, bits = _tile_candidates(

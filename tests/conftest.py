@@ -22,7 +22,11 @@ _REEXEC_WITHOUT_PLUGIN = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
 
 
 def pytest_configure(config):
-    if _REEXEC_WITHOUT_PLUGIN:
+    # Single-process pytest only: an xdist worker re-enters
+    # pytest_configure with the MASTER's orig_argv, so execve there would
+    # restart the wrong process (and every worker at once).  Workers
+    # inherit the already-cleaned env from the re-exec'd master anyway.
+    if _REEXEC_WITHOUT_PLUGIN and "PYTEST_XDIST_WORKER" not in os.environ:
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         os.execve(sys.executable, sys.orig_argv, env)
