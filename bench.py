@@ -206,6 +206,7 @@ def build(args):
         mt_tail=getattr(args, "mt_tail", False),
         cand_order=args.cand_order,
         resident_cap=getattr(args, "resident_cap", 0),
+        shade_emit=getattr(args, "shade_emit", False),
         p1_fanout=_scene_default(args, "p1_fanout"),
         p1_super_k=_scene_default(args, "p1_super_k"),
         p1_fanout0=getattr(args, "p1_fanout0", None),
@@ -267,6 +268,12 @@ def main():
         "--mt-tail", action=argparse.BooleanOptionalAction, default=False,
         help="half-width tail window: pad candidate lists to G/2 and evaluate "
         "one G/2-wide window when the remainder fits (trims padded columns)",
+    )
+    ap.add_argument(
+        "--shade-emit", action=argparse.BooleanOptionalAction, default=False,
+        help="kernel-epilogue shade emit: the traversal kernel extracts the "
+        "winner's corner normals + target id (26-row pack) instead of the "
+        "hit body's [T,10] row gather (bit-identical; A/B docs/PERF.md r5)",
     )
     ap.add_argument(
         "--resident-cap", type=int, default=0,

@@ -45,6 +45,11 @@ class SceneBase(NamedTuple):
     # per hit lane instead of two from separate [T, 3, 3] / [T] tables
     # (the two share indices; XLA does not merge them).
     shade_pack: jnp.ndarray  # [T, 10] (see above)
+    # The same 10 fields component-major ([10, T], host-transposed once):
+    # the rows appended to the traversal pack when the kernel emits shade
+    # in its epilogue (TraceConfig.shade_emit) — a device transpose per
+    # pulse would be a strided relayout.
+    shade_pack_t: jnp.ndarray  # [10, T]
     target_refl: jnp.ndarray  # [NT]
     target_refr: jnp.ndarray  # [NT]
     # ds residuals (f64 minus f32) for the extended-precision replay
@@ -118,6 +123,7 @@ def scene_base(
         tri_corner_normals=jnp.asarray(scene.tri_normals, dtype),
         tri_target=jnp.asarray(scene.tri_target, jnp.int32),
         shade_pack=jnp.asarray(shade, dtype),
+        shade_pack_t=jnp.asarray(np.ascontiguousarray(shade.T), dtype),
         target_refl=jnp.asarray(scene.target_refl_coeff, dtype),
         target_refr=jnp.asarray(scene.target_refr_index, dtype),
         **lo,
@@ -166,7 +172,9 @@ class ClusterScene(NamedTuple):
     commutes with barycentric interpolation).
     """
 
-    tri_pack: jnp.ndarray  # [16, T] rows: n(3) c1(3) c0(3) e1(3) e0(3) np0
+    # [16, T] rows: n(3) c1(3) c0(3) e1(3) e0(3) np0 — or [26, T] with
+    # the static shade rows 16-25 appended (animate_packed shade_rows)
+    tri_pack: jnp.ndarray
     aabb_mn: jnp.ndarray  # [C, 3]
     aabb_mx: jnp.ndarray  # [C, 3]
     base_corner_normals: jnp.ndarray  # [T, 3, 3] t=0 attitude (static)
@@ -184,6 +192,7 @@ def animate_packed(
     pos: jnp.ndarray,  # [NT, 3]
     vel: jnp.ndarray,  # [NT, 3]
     cluster_size: int,
+    shade_rows: bool = False,  # append the 10 static shade rows -> [26, T]
 ) -> ClusterScene:
     """Rigid-transform straight into the traversal kernel's layout.
 
@@ -236,6 +245,16 @@ def animate_packed(
     c0 = cross(p0, e0)
     np0 = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
     tri_pack = jnp.stack([*n, *c1, *c0, *e1, *e0, np0], axis=0)
+    if shade_rows:
+        # Shade-emit pack (TraceConfig.shade_emit): rows 16-25 hold the
+        # STATIC shade fields (base corner normals + target-as-float) so
+        # each candidate-window DMA carries the winner's shade data and
+        # the kernel epilogue can emit it — the rows are time-invariant
+        # (normals are rotated per HIT lane, not per pulse), so this is
+        # one broadcast copy per pulse, not extra per-pulse math.
+        tri_pack = jnp.concatenate(
+            [tri_pack, base.shade_pack_t.astype(tri_pack.dtype)], axis=0
+        )
 
     big = jnp.asarray(3.0e38, v.dtype)
     inf = jnp.asarray(float("inf"), v.dtype)

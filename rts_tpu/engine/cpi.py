@@ -78,7 +78,10 @@ def make_pulse_fn(
     def one_pulse(rot, pos, vel, rx_geom: RxGeomDevice, rx_pos, tx_origin, tx_dir, time_t, refine=None):
         dtype = base.tri_verts.dtype
         if cfg.accel == "cluster":
-            scene = animate_packed(base, rot, pos, vel, cfg.cluster_size)
+            scene = animate_packed(
+                base, rot, pos, vel, cfg.cluster_size,
+                shade_rows=cfg.shade_emit and cfg.interpolate_smooth,
+            )
         else:
             scene = animate_scene(base, rot, pos, vel)
         fan = generate_fan_c(cfg.num_rays, (tx_dir[0], tx_dir[1]), tx_span, dtype=dtype)

@@ -38,6 +38,11 @@ class HitResult(NamedTuple):
     beta: jnp.ndarray  # [R]
     gamma: jnp.ndarray  # [R]
     found: jnp.ndarray  # [R] bool
+    # [10, R] winner shade fields (rows 0-8 base corner normals, row 9
+    # target-as-float) when the clustered kernel ran with emit_shade —
+    # exact copies of shade_pack[tri] for found lanes, zeros elsewhere;
+    # None when the caller must gather instead (TraceConfig.shade_emit).
+    shade: jnp.ndarray = None
 
 
 def closest_hit_bruteforce(

@@ -207,6 +207,17 @@ class TraceConfig:
     # anything: a lax.cond falls back to the full-lane path when more
     # than agg_cap lanes were received.  0 disables.
     agg_cap: int = 4096
+    # Fused shade-emit: the traversal kernel extracts the winner's shade
+    # fields (base corner normals + target id, the [T, 10] shade_pack row
+    # the hit body would otherwise row-gather — docs/PERF.md r4e measured
+    # that gather at 3.03 ms/pulse, address-generation-bound in XLA) in
+    # its one-hot argmin epilogue and returns them as extra packed output
+    # rows.  Trades ~XLA-gather row cost for in-kernel VPU masked sums;
+    # bit-identical (the emitted values are exact copies of the same
+    # table rows; no-hit lanes differ only in never-observed fields).
+    # Requires accel="cluster" + interpolate_smooth + packed kernel I/O;
+    # silently falls back to the gather where unavailable.
+    shade_emit: bool = False
     # Record per-bounce RCS angle sums (normal_shader.cu:259-265,319-326)
     # into the [2, D, R] rcs buffer.  When every target's RCS model is
     # aspect-free (IsoRCS/SphereRCS ignore the angles entirely,

@@ -206,10 +206,18 @@ def _process_hit(state: LaneState, bufs: TraceBuffers, hit, hit_mask, scene: Dev
 
     fused = isinstance(scene, _CS) and cfg.interpolate_smooth
     if fused:
-        # ONE [T, 10] gather yields both the per-lane target id and the
-        # corner normals (animate.SceneBase.shade_pack) — the separate
-        # [T] + [T, 3, 3] gathers share indices but XLA keeps them apart
-        shade = _shade_rows(scene.shade_pack, tri)  # [10, L]
+        if hit.shade is not None:
+            # Kernel-emitted winner shade fields (cfg.shade_emit): exact
+            # copies of shade_pack[tri] for found lanes, zeros for no-hit
+            # lanes — whose shade-derived values are all gate-masked
+            # below, so results are identical to the gather path.
+            shade = hit.shade
+        else:
+            # ONE [T, 10] gather yields both the per-lane target id and
+            # the corner normals (animate.SceneBase.shade_pack) — the
+            # separate [T] + [T, 3, 3] gathers share indices but XLA
+            # keeps them apart
+            shade = _shade_rows(scene.shade_pack, tri)  # [10, L]
         targ = shade[9].astype(jnp.int32)
         fused_cn = shade[:9].reshape(3, 3, -1)  # [corner, comp, L]
     else:
@@ -793,6 +801,16 @@ def trace_fan(
                 tri_target=scene.tri_target,
             )
 
+        # Kernel-epilogue shade emit (TraceConfig.shade_emit): only when
+        # the scene pack carries the 10 static shade rows and the smooth-
+        # shading consumer exists; falls back to the XLA row gather in
+        # _process_hit otherwise (hit.shade is None).
+        emit_shade = (
+            cfg.shade_emit
+            and cfg.interpolate_smooth
+            and int(tri_pack.shape[0]) == 26
+        )
+
         def hit_fn(origin, direction, tmin):
             return closest_hit_clustered(
                 origin,
@@ -802,6 +820,7 @@ def trace_fan(
                 mn,
                 mx,
                 tx_origin,  # near-to-far group order from the Tx
+                emit_shade=emit_shade,
                 cluster_size=cfg.cluster_size,
                 ray_tile=cfg.ray_tile,
                 group_size=cfg.group_size,

@@ -294,6 +294,15 @@ def _mt_kernel(
     #                 live-cluster pack (cand_ref holds LIVE SLOT ids;
     #                 live_tab recovers global ids for the tri epilogue);
     #                 the sweep fallback keeps the HBM pack + pipeline
+    emit_shade: bool = False,  # pack has 26 rows (16-25 = shade fields:
+    #                 base corner normals x9 + target-as-float); the
+    #                 one-hot argmin epilogue also extracts the winner's
+    #                 10 shade values (exact — one column is hot) into
+    #                 ten extra running-best scratches, and the packed
+    #                 output grows to [16, RT] (rows 4-13 = shade).
+    #                 Replaces the XLA [T, 10] row gather in the hit
+    #                 body (docs/PERF.md r4e: 3.03 ms/pulse, address-
+    #                 generation-bound).  packed_io only.
 ):
     base_i = 1 if packed_io else 3
     nshared = 14 if resident else 12
@@ -302,10 +311,13 @@ def _mt_kernel(
      sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, pack_hbm) = sh[:12]
     if resident:
         live_ref, live_tab = sh[12], sh[13]
+    n_shade = 10 if emit_shade else 0
     if packed_io:
         rays_ref = refs[0]
-        (out_ref, stats_out, t_out, i_out, b_out, g_out,
-         pack_s, counters, sem) = refs[base_i + nshared:]
+        rest = refs[base_i + nshared:]
+        (out_ref, stats_out, t_out, i_out, b_out, g_out) = rest[:6]
+        s_outs = rest[6 : 6 + n_shade]  # per-field winner-shade scratches
+        (pack_s, counters, sem) = rest[6 + n_shade:]
         # one (8,RT)->(RT,8) in-register transpose bridges the lane-major
         # HBM pack to the rays-on-sublanes MT evaluation layout; slicing
         # happens on the transposed VALUE (lane-dim REF slices of width
@@ -318,8 +330,10 @@ def _mt_kernel(
         # the exact ref shape the legacy output blocks used (proven RMW
         # pattern), minus their per-tile pipeline DMA
     else:
+        assert not emit_shade, "emit_shade requires the packed I/O layout"
         o_ref, d_ref, tmin_ref = refs[0:3]
         t_out, i_out, b_out, g_out, stats_out, pack_s, counters, sem = refs[base_i + nshared:]
+        s_outs = ()
         o = o_ref[:]
         d = d_ref[:]
         tmin = tmin_ref[:, 0]
@@ -346,6 +360,8 @@ def _mt_kernel(
         i_out[:] = jnp.zeros_like(i_out)
         b_out[:] = jnp.zeros_like(b_out)
         g_out[:] = jnp.zeros_like(g_out)
+        for s_o in s_outs:
+            s_o[:] = jnp.zeros_like(s_o)
     counters[0] = jnp.int32(0)
     counters[1] = jnp.int32(0)
 
@@ -428,6 +444,7 @@ def _mt_kernel(
         e1_t = pack[9:12, :]
         e0_t = pack[12:15, :]
         np0_t = pack[15:16, :]
+        sh_t = pack[16:26, :] if emit_shade else None  # [10, m*cs] shade rows
 
         for k in range(sub_tiles):
             rows = slice(k * rs, (k + 1) * rs)
@@ -487,6 +504,15 @@ def _mt_kernel(
                 i_out[rows, 0] = jnp.where(better, tri.astype(itype), i_out[rows, 0])
                 b_out[rows, 0] = jnp.where(better, beta_j, b_out[rows, 0])
                 g_out[rows, 0] = jnp.where(better, gamma_j, g_out[rows, 0])
+                if emit_shade:
+                    # Winner shade fields by the SAME one-hot (exactly one
+                    # hot column per row, so each sum is the exact table
+                    # value — no accumulation rounding).  Ten masked
+                    # [rows, m*cs] reductions; the A/B against the XLA
+                    # row gather they replace is in docs/PERF.md r5.
+                    for q in range(10):
+                        sq = jnp.sum(jnp.where(onehot, sh_t[q : q + 1, :], 0.0), axis=1)
+                        s_outs[q][rows, 0] = jnp.where(better, sq, s_outs[q][rows, 0])
 
             if bits_list is None:
                 assert m == 1
@@ -710,16 +736,20 @@ def _mt_kernel(
         )
 
     if packed_io:
-        # Combine the four [RT, 1] best scratches into one [RT, 8] value
+        # Combine the [RT, 1] best scratches into one [RT, 8/16] value
         # (lane-select writes — concat/stack don't lower on Mosaic), then
-        # a single (RT,8)->(8,RT) transpose + ONE 16 KB block write
-        # replaces the four lane-padded [RT,1] output copies of the
-        # legacy layout.
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (rt, 8), 1)
+        # a single (RT,W)->(W,RT) transpose + ONE block write replaces
+        # the four lane-padded [RT,1] output copies of the legacy layout.
+        # With emit_shade the width is 16: rows 4-13 carry the winner's
+        # shade fields.
+        w = 16 if emit_shade else 8
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (rt, w), 1)
         val8 = jnp.where(lane8 == 0, t_out[:, 0:1], 0.0)
         val8 = jnp.where(lane8 == 1, i_out[:, 0:1], val8)
         val8 = jnp.where(lane8 == 2, b_out[:, 0:1], val8)
         val8 = jnp.where(lane8 == 3, g_out[:, 0:1], val8)
+        for q in range(n_shade):
+            val8 = jnp.where(lane8 == 4 + q, s_outs[q][:, 0:1], val8)
         out_ref[:, :] = jnp.transpose(val8.astype(jnp.float32))
 
 
@@ -1076,7 +1106,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components", "resident_cap"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components", "resident_cap", "emit_shade"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3] ([3, L] with components=True)
@@ -1107,6 +1137,11 @@ def closest_hit_clustered(
     resident_cap: int = 0,  # >0: keep up to this many live clusters VMEM-
     #   resident and assemble candidate windows by VMEM-local copies
     #   (bit-identical; live-set overflow falls back to the sweep)
+    emit_shade: bool = False,  # kernel epilogue extracts the winner's 10
+    #   shade fields (pack rows 16-25; animate_packed shade_rows=True)
+    #   and HitResult.shade returns them [10, L] — replaces the hit
+    #   body's [T, 10] row gather.  Requires a 26-row pack; silently
+    #   degrades to shade=None when packed I/O is unavailable.
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32).
 
@@ -1124,6 +1159,11 @@ def closest_hit_clustered(
         direction = direction.T
     l = origin.shape[1]
     t_total = tri_pack.shape[1]
+    if tri_pack.shape[0] not in (16, 26):
+        raise ValueError(
+            f"tri_pack must have 16 rows (pack_tri_fields) or 26 "
+            f"(animate_packed shade_rows=True); got {tri_pack.shape[0]}"
+        )
     if t_total % cluster_size:
         raise ValueError(
             f"tri_pack columns ({t_total}) must be a multiple of cluster_size "
@@ -1284,12 +1324,22 @@ def closest_hit_clustered(
             )
     # tri ids ride the packed f32 output row; exact only below 2^24
     packed_io = _PACKED_IO and c_pad * cluster_size < 2**24
+    if emit_shade:
+        if tri_pack.shape[0] != 26:
+            raise ValueError(
+                f"emit_shade needs the 26-row pack (16 geometry + 10 shade "
+                f"rows, animate_packed shade_rows=True); got "
+                f"{tri_pack.shape[0]} rows"
+            )
+        # legacy (non-packed) I/O has no shade output rows — degrade to
+        # the gather path rather than fail (caller checks hit.shade)
+        emit_shade = packed_io
     kernel = partial(
         _mt_kernel, packed_io=packed_io, num_clusters=c_pad,
         cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
         k_max=candidates, mt_group=mt_group, mt_union=mt_union, mt_tail=mt_tail,
-        resident=resident,
+        resident=resident, emit_shade=emit_shade,
     )
 
     n_tiles = l_pad // rt
@@ -1298,7 +1348,6 @@ def closest_hit_clustered(
     rays8_spec = pl.BlockSpec((8, rt), lambda i: (0, i), memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out8_spec = pl.BlockSpec((8, rt), lambda i: (0, i), memory_space=pltpu.VMEM)
     stats_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     if packed_io:
@@ -1345,7 +1394,12 @@ def closest_hit_clustered(
         # pipeline fetches it once, grid steps revisit the same block
         shared_specs += [full(), pl.BlockSpec(memory_space=pltpu.SMEM)]
     dma_scratch = [
-        pltpu.VMEM((16, _dma_depth(candidates, mt_group) * cluster_size), f32),
+        # scratch rows track the pack (16, or 26 with shade rows): the
+        # cluster DMA copies full leading-dim slices
+        pltpu.VMEM(
+            (tri_pack.shape[0], _dma_depth(candidates, mt_group) * cluster_size),
+            f32,
+        ),
         pltpu.SMEM((2,), jnp.int32),
         pltpu.SemaphoreType.DMA((_dma_depth(candidates, mt_group),)),
     ]
@@ -1361,8 +1415,9 @@ def closest_hit_clustered(
         if resident:
             tail = tail + (live_pack, live_tab)
         if packed_io:
+            ow = 16 if emit_shade else 8
             out_shape = [
-                jax.ShapeDtypeStruct((8, lanes_c), f32),
+                jax.ShapeDtypeStruct((ow, lanes_c), f32),
                 jax.ShapeDtypeStruct((tiles_c * 8, 128), jnp.int32),
             ]
             return pl.pallas_call(
@@ -1370,8 +1425,14 @@ def closest_hit_clustered(
                 grid=(tiles_c,),
                 out_shape=out_shape,
                 in_specs=[rays8_spec] + shared_specs,
-                out_specs=[out8_spec, stats_spec],
-                scratch_shapes=[pltpu.VMEM((rt, 1), f32) for _ in range(4)]
+                out_specs=[
+                    pl.BlockSpec((ow, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    stats_spec,
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((rt, 1), f32)
+                    for _ in range(14 if emit_shade else 4)
+                ]
                 + dma_scratch,
                 interpret=interpret,
             )(rays_c, *shared, cand_c, meta_c, bits_c, *tail)
@@ -1428,11 +1489,14 @@ def closest_hit_clustered(
         else:
             best_t, best_i, best_b, best_g, stats = run(rays_c, cand, meta, bits)
 
+    shade = None
     if packed_io:
         best_t = out8[0, :l]
         # exact: tri ids < 2^24 round-trip f32 losslessly (guard above)
         best_tri = out8[1, :l].astype(jnp.int32)
         best_b, best_g = out8[2, :l], out8[3, :l]
+        if emit_shade:
+            shade = out8[4:14, :l].astype(origin.dtype)
     else:
         best_t = best_t[:l, 0]
         best_tri = best_i[:l, 0]
@@ -1444,6 +1508,7 @@ def closest_hit_clustered(
         beta=best_b.astype(origin.dtype),
         gamma=best_g.astype(origin.dtype),
         found=found,
+        shade=shade,
     )
     if with_stats:
         return hit, stats[::8, :2]

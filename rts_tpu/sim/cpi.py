@@ -75,6 +75,11 @@ _PREPARE_DEFAULTS = dict(
     mt_tail=False,
     cand_order="near",
     resident_cap=0,
+    # kernel-epilogue shade emit (TraceConfig.shade_emit): the traversal
+    # kernel extracts the winner's corner normals + target id instead of
+    # the hit body's [T, 10] row gather; bit-identical, A/B'd on
+    # hardware in docs/PERF.md r5
+    shade_emit=False,
     p1_fanout=None,
     p1_super_k=None,
     p1_fanout0=None,
@@ -356,6 +361,7 @@ def prepare_cpi(
         mt_tail=opts["mt_tail"],
         cand_order=opts["cand_order"],
         resident_cap=opts["resident_cap"],
+        shade_emit=opts["shade_emit"],
         p1_fanout=opts["p1_fanout"],
         p1_super_k=opts["p1_super_k"],
         p1_fanout0=opts["p1_fanout0"],

@@ -30,22 +30,33 @@ import bench as B
 ap = argparse.ArgumentParser()
 ap.add_argument("--pulses", type=int, default=8)
 ap.add_argument("--rays", type=int, default=63)
+ap.add_argument("--tris", type=int, default=1000000)
 ap.add_argument("--repeat", type=int, default=3)
 ap.add_argument("--ray-tile", type=int, default=512)
 ap.add_argument("--sub-tiles", type=int, default=8)
+ap.add_argument(
+    "--scene", choices=("terrain", "moving", "dielectric"), default="terrain",
+    help="bench scene; traversal knobs follow bench._SCENE_DEFAULTS "
+    "(r5: configs 2/3 get the same marginal decomposition as terrain)",
+)
 ap.add_argument("--refine", action="store_true", help="profile with ds replay ON")
+ap.add_argument("--shade-emit", action="store_true")
 args = ap.parse_args()
 
 bargs = argparse.Namespace(
-    tris=1000000, rays=args.rays, pulses=args.pulses, repeat=args.repeat,
-    tri_chunk=2048, scene="terrain", accel="cluster", cluster_size=128,
-    ray_tile=args.ray_tile, candidates=64, sub_tiles=args.sub_tiles,
-    mt_group=8, mt_union=True, cand_order="near",
-    p1_fanout=8, p1_super_k=12, p1_fanout0=None, p1_super_k0=None,
+    tris=args.tris, rays=args.rays, pulses=args.pulses, repeat=args.repeat,
+    tri_chunk=2048, scene=args.scene, accel="cluster", cluster_size=None,
+    ray_tile=args.ray_tile, candidates=None, sub_tiles=args.sub_tiles,
+    mt_group=None, mt_union=True, cand_order="near",
+    p1_fanout=None, p1_super_k=None, p1_fanout0=None, p1_super_k0=None,
     fan_order="raster", refine=args.refine, replay_cap=256,
-    compact_narrow=-1, agg_cap=4096,
+    compact_narrow=-1, agg_cap=4096, shade_emit=args.shade_emit,
     tiny=False, cpi256=False, stats=False,
 )
+# terrain keeps the historical r4e knobs for ledger continuity
+if args.scene == "terrain":
+    bargs.cluster_size, bargs.candidates, bargs.mt_group = 128, 64, 8
+    bargs.p1_fanout, bargs.p1_super_k = 8, 12
 base, batch, cfg, spec = B.build(bargs)[:4]
 P = args.pulses
 

@@ -95,6 +95,48 @@ def test_sharded_compact_narrow():
     _assert_identical(single, sharded)
 
 
+def test_sharded_mid_shape_caps_fire():
+    """Mid-shape sharded bit-identity with the CAP paths actually firing
+    (r4 verdict item 5): a 15³ fan with refine/ds-replay, replay_cap,
+    agg_cap and compact_narrow all active under a pulse x ray mesh.
+
+    Caps are derived from the measured received counts so both regimes
+    are provably exercised: cap_small < max received (replay keeps-f32
+    overflow + aggregation's exact full-width lax.cond fallback) and
+    cap_big >= max received (the compacted gather/scatter paths).  Both
+    must be bit-identical to the single-device trace with the same cfg.
+    Reference boundary: aggregation.cu:102-185."""
+    import warnings
+
+    w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+    params = Parameters(num_rays=15, max_refl_depth=2)
+    knobs = dict(
+        dtype=jnp.float32, accel="cluster", cluster_size=128, ray_tile=128,
+        sub_tiles=2, candidates=16, mt_group=4, interpret=True,
+        compact_narrow=2, refine=True,
+    )
+    base0, batch0, cfg0, spec0 = prepare_cpi(w, params, **knobs)
+    probe = trace_cpi(base0, batch0, cfg0, spec0)
+    counts = np.asarray((np.asarray(probe.received) >= 0).sum(axis=1))
+    cnt_max = int(counts.max())
+    assert cnt_max > 1, "scene must produce received lanes for caps to matter"
+
+    mesh = make_mesh(2, 3)  # 15^3 = 3375 lanes -> 1125 per ray shard
+    for cap in (max(1, cnt_max // 2), cnt_max + 4):
+        base, batch, cfg, spec = prepare_cpi(
+            w, params, **knobs, replay_cap=cap, agg_cap=cap,
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # replay-overflow UserWarning
+            single = trace_cpi(base, batch, cfg, spec)
+            sharded = trace_cpi_sharded(
+                base, shard_batch(batch, mesh), cfg, spec, mesh
+            )
+        _assert_identical(single, sharded)
+    # the small cap really was exceeded and the big one really held
+    assert cnt_max // 2 < cnt_max and cnt_max <= cnt_max + 4
+
+
 def test_bad_divisibility_raises():
     w = make_world(num_pulses=3)
     params = Parameters(num_rays=2, max_refl_depth=1)
