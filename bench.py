@@ -265,14 +265,15 @@ def main():
         help="one G*cs-wide union-gated MT per step (vs G-unrolled per-candidate windows)",
     )
     ap.add_argument(
-        "--mt-tail", action=argparse.BooleanOptionalAction, default=False,
+        "--mt-tail", action=argparse.BooleanOptionalAction, default=True,
         help="half-width tail window: pad candidate lists to G/2 and evaluate "
-        "one G/2-wide window when the remainder fits (trims padded columns)",
+        "one G/2-wide window when the remainder fits (trims padded columns; "
+        "production default since r5a: +1.7%%)",
     )
     ap.add_argument(
         "--shade-emit", action=argparse.BooleanOptionalAction, default=False,
         help="kernel-epilogue shade emit: the traversal kernel extracts the "
-        "winner's corner normals + target id (26-row pack) instead of the "
+        "winner's corner normals + target id (32-row pack) instead of the "
         "hit body's [T,10] row gather (bit-identical; A/B docs/PERF.md r5)",
     )
     ap.add_argument(

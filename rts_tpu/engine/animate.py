@@ -172,8 +172,9 @@ class ClusterScene(NamedTuple):
     commutes with barycentric interpolation).
     """
 
-    # [16, T] rows: n(3) c1(3) c0(3) e1(3) e0(3) np0 — or [26, T] with
-    # the static shade rows 16-25 appended (animate_packed shade_rows)
+    # [16, T] rows: n(3) c1(3) c0(3) e1(3) e0(3) np0 — or [32, T] with
+    # the static shade rows 16-25 appended + 6 zero pad rows
+    # (animate_packed shade_rows; Mosaic 8-sublane DMA alignment)
     tri_pack: jnp.ndarray
     aabb_mn: jnp.ndarray  # [C, 3]
     aabb_mx: jnp.ndarray  # [C, 3]
@@ -192,7 +193,7 @@ def animate_packed(
     pos: jnp.ndarray,  # [NT, 3]
     vel: jnp.ndarray,  # [NT, 3]
     cluster_size: int,
-    shade_rows: bool = False,  # append the 10 static shade rows -> [26, T]
+    shade_rows: bool = False,  # append shade rows + pad -> [32, T]
 ) -> ClusterScene:
     """Rigid-transform straight into the traversal kernel's layout.
 
@@ -251,9 +252,18 @@ def animate_packed(
         # each candidate-window DMA carries the winner's shade data and
         # the kernel epilogue can emit it — the rows are time-invariant
         # (normals are rotated per HIT lane, not per pulse), so this is
-        # one broadcast copy per pulse, not extra per-pulse math.
+        # one broadcast copy per pulse, not extra per-pulse math.  Rows
+        # 26-31 are zero padding: Mosaic HBM memref slices must be
+        # 8-sublane-aligned in the leading dim (a 26-row DMA slice fails
+        # to lower on real TPU; the physical tiling pads to 32 anyway).
+        t = tri_pack.shape[1]
         tri_pack = jnp.concatenate(
-            [tri_pack, base.shade_pack_t.astype(tri_pack.dtype)], axis=0
+            [
+                tri_pack,
+                base.shade_pack_t.astype(tri_pack.dtype),
+                jnp.zeros((6, t), tri_pack.dtype),
+            ],
+            axis=0,
         )
 
     big = jnp.asarray(3.0e38, v.dtype)

@@ -216,7 +216,9 @@ class TraceConfig:
     # bit-identical (the emitted values are exact copies of the same
     # table rows; no-hit lanes differ only in never-observed fields).
     # Requires accel="cluster" + interpolate_smooth + packed kernel I/O;
-    # silently falls back to the gather where unavailable.
+    # silently falls back to the gather where unavailable.  MEASURED
+    # NO-GO on hardware (−2 to −6% in every variant, docs/PERF.md r5a) —
+    # kept as a documented opt-in like resident_cap.
     shade_emit: bool = False
     # Record per-bounce RCS angle sums (normal_shader.cu:259-265,319-326)
     # into the [2, D, R] rcs buffer.  When every target's RCS model is

@@ -808,7 +808,7 @@ def trace_fan(
         emit_shade = (
             cfg.shade_emit
             and cfg.interpolate_smooth
-            and int(tri_pack.shape[0]) == 26
+            and int(tri_pack.shape[0]) == 32
         )
 
         def hit_fn(origin, direction, tmin):

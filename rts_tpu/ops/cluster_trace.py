@@ -158,6 +158,11 @@ if _KERNEL_FLOOR and _os.environ.get("RTS_TIMING_GARBAGE_OK") != "1":
 # 16 KB per grid step and 2 block copies instead of 7.  In-kernel
 # (8,rt)<->(rt,8) transposes bridge to the rays-on-sublanes MT layout.
 _PACKED_IO = _os.environ.get("RTS_KERNEL_PACKED_IO", "1") == "1"
+# emit_shade epilogue variant: extract the winner's shade fields only
+# when the window improved some row (scalar any() sync per eval, saves
+# the 10 masked sums on non-improving windows).  Value-identical: the
+# shade RMW is where(better, ...) anyway.  r5 A/B flag.
+_SHADE_EMIT_GATED = _os.environ.get("RTS_SHADE_EMIT_GATED", "0") == "1"
 
 # Experiment-flag audit: every env switch above with its default, so the
 # production preset can warn when any is inherited from a stale shell
@@ -170,6 +175,7 @@ _EXPERIMENT_FLAG_DEFAULTS = {
     "RTS_KERNEL_THIN_VALID": "1",
     "RTS_KERNEL_FLOOR": "0",
     "RTS_KERNEL_PACKED_IO": "1",
+    "RTS_SHADE_EMIT_GATED": "0",
 }
 
 
@@ -294,7 +300,7 @@ def _mt_kernel(
     #                 live-cluster pack (cand_ref holds LIVE SLOT ids;
     #                 live_tab recovers global ids for the tri epilogue);
     #                 the sweep fallback keeps the HBM pack + pipeline
-    emit_shade: bool = False,  # pack has 26 rows (16-25 = shade fields:
+    emit_shade: bool = False,  # pack has 32 rows (16-25 = shade fields:
     #                 base corner normals x9 + target-as-float); the
     #                 one-hot argmin epilogue also extracts the winner's
     #                 10 shade values (exact — one column is hot) into
@@ -510,9 +516,19 @@ def _mt_kernel(
                     # value — no accumulation rounding).  Ten masked
                     # [rows, m*cs] reductions; the A/B against the XLA
                     # row gather they replace is in docs/PERF.md r5.
-                    for q in range(10):
-                        sq = jnp.sum(jnp.where(onehot, sh_t[q : q + 1, :], 0.0), axis=1)
-                        s_outs[q][rows, 0] = jnp.where(better, sq, s_outs[q][rows, 0])
+                    def _extract():
+                        for q in range(10):
+                            sq = jnp.sum(
+                                jnp.where(onehot, sh_t[q : q + 1, :], 0.0), axis=1
+                            )
+                            s_outs[q][rows, 0] = jnp.where(
+                                better, sq, s_outs[q][rows, 0]
+                            )
+
+                    if _SHADE_EMIT_GATED:
+                        pl.when(jnp.any(better))(_extract)
+                    else:
+                        _extract()
 
             if bits_list is None:
                 assert m == 1
@@ -1140,7 +1156,7 @@ def closest_hit_clustered(
     emit_shade: bool = False,  # kernel epilogue extracts the winner's 10
     #   shade fields (pack rows 16-25; animate_packed shade_rows=True)
     #   and HitResult.shade returns them [10, L] — replaces the hit
-    #   body's [T, 10] row gather.  Requires a 26-row pack; silently
+    #   body's [T, 10] row gather.  Requires a 32-row pack; silently
     #   degrades to shade=None when packed I/O is unavailable.
 ) -> HitResult:
     """Closest valid triangle per ray via clustered traversal (float32).
@@ -1159,9 +1175,9 @@ def closest_hit_clustered(
         direction = direction.T
     l = origin.shape[1]
     t_total = tri_pack.shape[1]
-    if tri_pack.shape[0] not in (16, 26):
+    if tri_pack.shape[0] not in (16, 32):
         raise ValueError(
-            f"tri_pack must have 16 rows (pack_tri_fields) or 26 "
+            f"tri_pack must have 16 rows (pack_tri_fields) or 32 "
             f"(animate_packed shade_rows=True); got {tri_pack.shape[0]}"
         )
     if t_total % cluster_size:
@@ -1325,9 +1341,9 @@ def closest_hit_clustered(
     # tri ids ride the packed f32 output row; exact only below 2^24
     packed_io = _PACKED_IO and c_pad * cluster_size < 2**24
     if emit_shade:
-        if tri_pack.shape[0] != 26:
+        if tri_pack.shape[0] != 32:
             raise ValueError(
-                f"emit_shade needs the 26-row pack (16 geometry + 10 shade "
+                f"emit_shade needs the 32-row pack (16 geometry + 10 shade "
                 f"rows, animate_packed shade_rows=True); got "
                 f"{tri_pack.shape[0]} rows"
             )

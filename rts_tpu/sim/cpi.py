@@ -45,6 +45,11 @@ PRESETS = {
         # clusters)
         p1_fanout=8,
         p1_super_k=10,
+        # half-width tail window: trims the padded-duplicate columns of
+        # the last MT window (r5a hardware A/B: +1.7%, 6.86 -> 6.98e6 at
+        # P=16; the r3h "neutral" verdict flipped at the packed-IO
+        # kernel — docs/PERF.md r5a)
+        mt_tail=True,
         refine=True,
         # replay block size; received lanes beyond the cap keep f32 and
         # check_replay_overflow warns LOUDLY — raise it (or 0 = all)

@@ -33,15 +33,17 @@ def _packs(dev):
         ],
         axis=1,
     )  # [T, 10] — the shade_pack layout (animate.SceneBase)
-    pack26 = jnp.concatenate([pack16, sp.T], axis=0)
-    return pack16, pack26, sp
+    pack32 = jnp.concatenate(
+        [pack16, sp.T, jnp.zeros((6, pack16.shape[1]), pack16.dtype)], axis=0
+    )
+    return pack16, pack32, sp
 
 
 def test_emit_shade_kernel_matches_gather():
     scene = make_scene()
     dev = scene_to_device(scene, dtype=jnp.float32)
     mn, mx = cluster_aabbs(dev.tri_p0, dev.tri_e0, dev.tri_e1, CS, xp=jnp)
-    pack16, pack26, sp = _packs(dev)
+    pack16, pack32, sp = _packs(dev)
     o, d, tm = _random_rays()
 
     base = closest_hit_clustered(
@@ -55,7 +57,7 @@ def test_emit_shade_kernel_matches_gather():
     # and sweep-only (K=0) must all emit the winner's exact shade row
     for k, g, st in ((64, 8, 4), (64, 4, 2), (64, 1, 1), (1, 2, 4), (0, 2, 4)):
         out = closest_hit_clustered(
-            o, d, tm, pack26, mn, mx, cluster_size=CS, ray_tile=RT,
+            o, d, tm, pack32, mn, mx, cluster_size=CS, ray_tile=RT,
             candidates=k, mt_group=g, sub_tiles=st, emit_shade=True,
             interpret=True,
         )
