@@ -31,11 +31,14 @@ import time
 # scene was 41x slower on the terrain knobs — every sphere tile
 # overflowed into the scalar sweep).
 _SCENE_DEFAULTS = {
+    # mt_prune: running-best window prune — +34% on shells (front faces
+    # occlude back faces + farther spheres; docs/PERF.md r5d), ~neutral
+    # on terrain (kept off there).
     "moving": dict(cluster_size=1024, candidates=128, mt_group=1,
-                   p1_fanout=16, p1_super_k=32),
+                   p1_fanout=16, p1_super_k=32, mt_prune=True),
 }
 _BASE_DEFAULTS = dict(cluster_size=128, candidates=48, mt_group=8,
-                      p1_fanout=8, p1_super_k=10)
+                      p1_fanout=8, p1_super_k=10, mt_prune=False)
 
 
 def _scene_default(args, name):
@@ -203,7 +206,8 @@ def build(args):
         sub_tiles=args.sub_tiles if args.sub_tiles is not None else 8,
         mt_group=_scene_default(args, "mt_group"),
         mt_union=args.mt_union,
-        mt_tail=getattr(args, "mt_tail", False),
+        mt_tail=getattr(args, "mt_tail", True),
+        mt_prune=_scene_default(args, "mt_prune"),
         cand_order=args.cand_order,
         resident_cap=getattr(args, "resident_cap", 0),
         shade_emit=getattr(args, "shade_emit", False),
@@ -269,6 +273,12 @@ def main():
         help="half-width tail window: pad candidate lists to G/2 and evaluate "
         "one G/2-wide window when the remainder fits (trims padded columns; "
         "production default since r5a: +1.7%%)",
+    )
+    ap.add_argument(
+        "--mt-prune", action=argparse.BooleanOptionalAction, default=None,
+        help="running-best candidate-window prune (exact): skip sub-block "
+        "MT evals whose window entry distance exceeds the rows' current "
+        "best (None = scene default)",
     )
     ap.add_argument(
         "--shade-emit", action=argparse.BooleanOptionalAction, default=False,

@@ -142,6 +142,12 @@ class TraceConfig:
     # G/2 and evaluate one G/2-wide window when the remainder fits —
     # trims padded-duplicate columns (bit-identical; docs/PERF.md).
     mt_tail: bool = False
+    # Running-best candidate-window prune: skip a sub-block's MT when
+    # the window's nearest candidate entry distance (phase-1 per-tile
+    # min, floor-quantised 1/16 m) exceeds every row's current best t.
+    # Exact/bit-identical; built for closed-shell scenes where front
+    # faces occlude back faces and farther targets (docs/PERF.md r5b).
+    mt_prune: bool = False
     # Candidate-list order within a tile: "near" (near-to-far entry
     # distance) or "mask" (grouped by sub-block overlap bitmask so
     # G-window union gates stay tight; near-to-far within equal masks).

@@ -830,6 +830,7 @@ def trace_fan(
                 mt_group=cfg.mt_group,
                 mt_union=cfg.mt_union,
                 mt_tail=cfg.mt_tail,
+                mt_prune=cfg.mt_prune,
                 resident_cap=cfg.resident_cap,
                 cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout,

@@ -309,14 +309,22 @@ def _mt_kernel(
     #                 Replaces the XLA [T, 10] row gather in the hit
     #                 body (docs/PERF.md r4e: 3.03 ms/pulse, address-
     #                 generation-bound).  packed_io only.
+    mt_prune: bool = False,  # candidate-mode running-best prune: skip a
+    #                 sub-block eval when the window's nearest candidate
+    #                 entry distance (phase-1 per-tile min, floor-
+    #                 quantised to 1/16 m in ent_ref) exceeds every
+    #                 row's current best t.  Exact (strict-< RMW); built
+    #                 for closed shells where front-face hits occlude
+    #                 back faces and farther targets (docs/PERF.md r5b).
 ):
     base_i = 1 if packed_io else 3
-    nshared = 14 if resident else 12
+    nshared = 15 if resident else 13
     sh = refs[base_i : base_i + nshared]
     (mn_ref, mx_ref, gmn_ref, gmx_ref, smn_ref, smx_ref,
-     sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, pack_hbm) = sh[:12]
+     sorder_ref, gorder_ref, cand_ref, meta_ref, bits_ref, ent_ref,
+     pack_hbm) = sh[:13]
     if resident:
-        live_ref, live_tab = sh[12], sh[13]
+        live_ref, live_tab = sh[13], sh[14]
     n_shade = 10 if emit_shade else 0
     if packed_io:
         rays_ref = refs[0]
@@ -414,7 +422,7 @@ def _mt_kernel(
     rt = o.shape[0]
     rs = rt // sub_tiles
 
-    def process(c_list, slot0, bits_list=None):
+    def process(c_list, slot0, bits_list=None, ent_min=None):
         """MT-test ``len(c_list)`` clusters sitting in CONTIGUOUS scratch
         slots starting at ``slot0`` as ONE [rows, m*cs] evaluation.
 
@@ -545,7 +553,17 @@ def _mt_kernel(
                 union = bits_list[0]
                 for b in bits_list[1:]:
                     union = union | b
-                pl.when(((union >> k) & 1) != 0)(_eval)
+                cond = ((union >> k) & 1) != 0
+                if mt_prune and ent_min is not None:
+                    # Running-best window prune: the window's nearest
+                    # candidate entry (per-tile min over rays, floored to
+                    # 1/16 m) beyond every row's current best means no
+                    # column can win the strict-< RMW — skip the eval.
+                    # floor() only under-estimates the entry, so a skip
+                    # implies true_entry > best for every row: EXACT.
+                    bmax = jnp.max(t_out[rows, 0])
+                    cond = cond & (ent_min.astype(jnp.float32) <= bmax * 16.0)
+                pl.when(cond)(_eval)
 
     # Double-buffered pipeline: when cluster c's slab test passes, start
     # its DMA into slot cnt%2, then (with the copy in flight) process the
@@ -630,6 +648,7 @@ def _mt_kernel(
         lrow, lbase = tile // tpr, (tile % tpr) * k_max
         cand_at = lambda i: cand_ref[lrow, lbase + i]
         bits_at = lambda i: bits_ref[lrow, lbase + i]
+        ent_at = lambda i: ent_ref[lrow, lbase + i]
 
         def cand_path(cr):
             n_cand = meta_ref[tile // 64, (tile % 64) * 2]
@@ -675,13 +694,26 @@ def _mt_kernel(
                 # tri-epilogue ids must be GLOBAL cluster ids; in resident
                 # mode cand_ref holds live-pack slots
                 gids = [live_global(x) for x in ids] if resident else ids
+                if mt_prune:
+                    em = ent_at(i)
+                    for q in range(1, m):
+                        em = jnp.minimum(em, ent_at(i + q))
+                else:
+                    em = None
                 if mt_union:
                     # ONE m*cs-wide union-gated MT evaluation
-                    process(gids, slot, bits_list=[bits_at(i + q) for q in range(m)])
+                    process(
+                        gids, slot,
+                        bits_list=[bits_at(i + q) for q in range(m)],
+                        ent_min=em,
+                    )
                 else:
                     # m-unrolled: per-candidate windows/bits (no union waste)
                     for q in range(m):
-                        process([gids[q]], slot + q, bits_list=[bits_at(i + q)])
+                        process(
+                            [gids[q]], slot + q, bits_list=[bits_at(i + q)],
+                            ent_min=ent_at(i + q) if mt_prune else None,
+                        )
                 for q in range(m):
                     refill(i + q, slot + q)
 
@@ -1040,12 +1072,19 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
     # returns positions < s, so no clamp is needed)
     order = jnp.take_along_axis(members, sel, axis=1).astype(jnp.int32)
     bits = jnp.take_along_axis(bits_all, sel, axis=1).astype(jnp.int32)
+    # per-candidate min entry distance (the sort key), floor-quantised to
+    # 1/16 m as int32 for the kernel's running-best window prune
+    # (mt_prune): floor only UNDER-estimates, keeping the prune exact.
+    ent_f = jnp.take_along_axis(tnear_t, sel, axis=1)
+    entq = jnp.floor(jnp.minimum(ent_f, 8.0e5) * 16.0).astype(jnp.int32)
     if k_eff < k_max:
         order = jnp.pad(order, ((0, 0), (0, k_max - k_eff)))
         bits = jnp.pad(bits, ((0, 0), (0, k_max - k_eff)))
+        entq = jnp.pad(entq, ((0, 0), (0, k_max - k_eff)), constant_values=2**30)
     else:
         order = order[:, :k_max]
         bits = bits[:, :k_max]
+        entq = entq[:, :k_max]
     over = s_over | (count > k_eff)
     meta = jnp.stack(
         [jnp.minimum(count, k_eff), over.astype(jnp.int32)], axis=1
@@ -1070,6 +1109,7 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         perm = jnp.argsort(key, axis=1)
         order = jnp.take_along_axis(order, perm, axis=1)
         bits = jnp.take_along_axis(bits, perm, axis=1)
+        entq = jnp.take_along_axis(entq, perm, axis=1)
     elif cand_order != "near":
         raise ValueError(f"cand_order must be 'near' or 'mask', got {cand_order!r}")
     # Pad slots >= count with the LAST VALID candidate id and bits=0, so
@@ -1086,7 +1126,9 @@ def _tile_candidates(origin, direction, tmin, mn, mx, ray_tile, sub_tiles, k_max
         count_col > 0, jnp.take_along_axis(order, last, axis=1), 0
     )
     bits = jnp.where(pos < count_col, bits, 0)
-    return order, meta, bits
+    # padding slots must not loosen a window's min-entry under mt_prune
+    entq = jnp.where(pos < count_col, entq, jnp.int32(2**30))
+    return order, meta, bits, entq
 
 
 def _pack_smem_rows(a):
@@ -1122,7 +1164,7 @@ def pack_tri_fields(tri_n, tri_c1, tri_c0, tri_e1, tri_e0, tri_np0):
 
 @partial(
     jax.jit,
-    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components", "resident_cap", "emit_shade"),
+    static_argnames=("cluster_size", "ray_tile", "group_size", "super_size", "sub_tiles", "candidates", "mt_group", "mt_union", "mt_tail", "cand_order", "p1_fanout", "p1_super_k", "p1_fanout0", "p1_super_k0", "interpret", "with_stats", "components", "resident_cap", "emit_shade", "mt_prune"),
 )
 def closest_hit_clustered(
     origin,  # [L, 3] ([3, L] with components=True)
@@ -1142,6 +1184,7 @@ def closest_hit_clustered(
     mt_group: int = 2,  # candidates per MT evaluation window (1/2/4/8/16/32)
     mt_union: bool = True,  # False: G-unrolled loop, per-candidate windows
     mt_tail: bool = False,  # half-width tail window (see _mt_kernel)
+    mt_prune: bool = False,  # running-best candidate-window prune (see _mt_kernel)
     cand_order: str = "near",  # "mask": group window-mates by sub-block bitmask
     p1_fanout: int | None = None,  # phase-1 clusters per supergroup (default _P1_FANOUT)
     p1_super_k: int | None = None,  # phase-1 admitted supergroups per tile (default _P1_SUPER_K)
@@ -1272,7 +1315,7 @@ def closest_hit_clustered(
             )
     live_pack = live_tab = None
     if candidates > 0:
-        cand, meta, bits = _tile_candidates(
+        cand, meta, bits, ent = _tile_candidates(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
             cand_order, p1_fanout, p1_super_k, p1_fanout0, p1_super_k0,
         )
@@ -1324,6 +1367,7 @@ def closest_hit_clustered(
         cand = jnp.zeros((n_t, 1), jnp.int32)
         meta = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (n_t, 1))
         bits = jnp.zeros((n_t, 1), jnp.int32)
+        ent = jnp.zeros((n_t, 1), jnp.int32)
         k_width = 1
     grid = (l_pad // rt,)
     if mt_group not in (1, 2, 4, 8, 16, 32):
@@ -1355,7 +1399,7 @@ def closest_hit_clustered(
         cluster_size=cluster_size,
         group_size=group_size, super_size=super_size, sub_tiles=sub_tiles,
         k_max=candidates, mt_group=mt_group, mt_union=mt_union, mt_tail=mt_tail,
-        resident=resident, emit_shade=emit_shade,
+        resident=resident, emit_shade=emit_shade, mt_prune=mt_prune,
     )
 
     n_tiles = l_pad // rt
@@ -1403,6 +1447,7 @@ def closest_hit_clustered(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     if resident:
@@ -1420,13 +1465,14 @@ def closest_hit_clustered(
         pltpu.SemaphoreType.DMA((_dma_depth(candidates, mt_group),)),
     ]
 
-    def run(rays_c, cand_c, meta_c, bits_c):
+    def run(rays_c, cand_c, meta_c, bits_c, ent_c):
         # rays_c: [8, lanes] pack (packed_io) or (o, d, tmin[:, None]) tuple
         lanes_c = rays_c.shape[1] if packed_io else rays_c[0].shape[0]
         tiles_c = lanes_c // rt
         cand_c = _pack_smem_rows(cand_c)
         meta_c = _pack_smem_rows(meta_c)
         bits_c = _pack_smem_rows(bits_c)
+        ent_c = _pack_smem_rows(ent_c)
         tail = (tri_pack.astype(f32),)
         if resident:
             tail = tail + (live_pack, live_tab)
@@ -1451,7 +1497,7 @@ def closest_hit_clustered(
                 ]
                 + dma_scratch,
                 interpret=interpret,
-            )(rays_c, *shared, cand_c, meta_c, bits_c, *tail)
+            )(rays_c, *shared, cand_c, meta_c, bits_c, ent_c, *tail)
         out_shape = [
             jax.ShapeDtypeStruct((lanes_c, 1), f32),
             jax.ShapeDtypeStruct((lanes_c, 1), jnp.int32),
@@ -1467,7 +1513,7 @@ def closest_hit_clustered(
             out_specs=[out_spec, out_spec, out_spec, out_spec, stats_spec],
             scratch_shapes=dma_scratch,
             interpret=interpret,
-        )(*rays_c, *shared, cand_c, meta_c, bits_c, *tail)
+        )(*rays_c, *shared, cand_c, meta_c, bits_c, ent_c, *tail)
 
     # The row-packed candidate/meta/bits lists live in SMEM; chunk the
     # grid so very large fans (thousands of tiles) never exceed the
@@ -1475,7 +1521,8 @@ def closest_hit_clustered(
     # Packed footprint: cand+bits pay 512 B per tpr tiles each, meta
     # 512 B per 64 tiles (SMEM rows are 128 int32 whatever the width).
     tpr_c = max(1, 128 // k_width)
-    per_tile_bytes = 1024 // tpr_c + 8
+    # cand + bits + ent each pay 512 B per tpr tiles; meta 8 B/tile
+    per_tile_bytes = 1536 // tpr_c + 8
     max_tiles = max(1, _SMEM_LIST_BUDGET // per_tile_bytes)
     if n_tiles > max_tiles:
         parts = []
@@ -1490,7 +1537,9 @@ def closest_hit_clustered(
                     tm32[s0 * rt : s1 * rt],
                 )
             )
-            parts.append(run(rays_c, cand[s0:s1], meta[s0:s1], bits[s0:s1]))
+            parts.append(
+                run(rays_c, cand[s0:s1], meta[s0:s1], bits[s0:s1], ent[s0:s1])
+            )
         if packed_io:
             out8 = jnp.concatenate([p[0] for p in parts], axis=1)
             stats = jnp.concatenate([p[1] for p in parts], axis=0)
@@ -1501,9 +1550,9 @@ def closest_hit_clustered(
     else:
         rays_c = rays8 if packed_io else (o32, d32, tm32)
         if packed_io:
-            out8, stats = run(rays_c, cand, meta, bits)
+            out8, stats = run(rays_c, cand, meta, bits, ent)
         else:
-            best_t, best_i, best_b, best_g, stats = run(rays_c, cand, meta, bits)
+            best_t, best_i, best_b, best_g, stats = run(rays_c, cand, meta, bits, ent)
 
     shade = None
     if packed_io:

@@ -78,6 +78,7 @@ _PREPARE_DEFAULTS = dict(
     mt_group=2,
     mt_union=True,
     mt_tail=False,
+    mt_prune=False,
     cand_order="near",
     resident_cap=0,
     # kernel-epilogue shade emit (TraceConfig.shade_emit): the traversal
@@ -364,6 +365,7 @@ def prepare_cpi(
         mt_group=opts["mt_group"],
         mt_union=opts["mt_union"],
         mt_tail=opts["mt_tail"],
+        mt_prune=opts["mt_prune"],
         cand_order=opts["cand_order"],
         resident_cap=opts["resident_cap"],
         shade_emit=opts["shade_emit"],

@@ -79,7 +79,7 @@ def p1_only(d_in):
     @jax.jit
     def f():
         def g(i):
-            cand, meta, bits = _tile_candidates(
+            cand, meta, bits, *_ = _tile_candidates(
                 o_live, d_in, tm_live + i * 1e-12, sc0.aabb_mn, sc0.aabb_mx,
                 rt, cfg.sub_tiles, cfg.candidates, cand_order=cfg.cand_order,
                 p1_fanout=cfg.p1_fanout, p1_super_k=cfg.p1_super_k,

@@ -90,7 +90,7 @@ timed("kernel x8 varied", k8, origs, fans, tmins, sc0.tri_pack, sc0.aabb_mn, sc0
 def p8(fs, os_, ts, mn, mx):
     def f(x):
         o, d, t = x
-        c, m, _b = _tile_candidates(o, d, t, mn, mx, cfg.ray_tile, cfg.sub_tiles, cfg.candidates)
+        c, m, _b, *_ = _tile_candidates(o, d, t, mn, mx, cfg.ray_tile, cfg.sub_tiles, cfg.candidates)
         return jnp.sum(c) + jnp.sum(m)
     return jax.lax.map(f, (os_, fs, ts))
 

@@ -84,7 +84,7 @@ def mk(mode):
     @jax.jit
     def f():
         def g(i):
-            cand, meta, bits = CT._tile_candidates(
+            cand, meta, bits, *_ = CT._tile_candidates(
                 o_in, d_in, tm_in + i * 1e-12, mn_in, mx_in, rt, st, k_max,
                 cand_order=cfg.cand_order, p1_fanout=cfg.p1_fanout,
                 p1_super_k=cfg.p1_super_k, p1_fanout0=cfg.p1_fanout0,

@@ -90,7 +90,7 @@ if args.candidates:
     @jax.jit
     def stage_phase1(o, d, t, mn, mx):
         def f(_):
-            c, m, _b = _tile_candidates(o, d, t, mn, mx, cfg.ray_tile, cfg.sub_tiles, cfg.candidates)
+            c, m, _b, *_ = _tile_candidates(o, d, t, mn, mx, cfg.ray_tile, cfg.sub_tiles, cfg.candidates)
             return jnp.sum(c) + jnp.sum(m)
         return jax.lax.map(f, jnp.arange(P))
 

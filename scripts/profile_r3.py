@@ -111,7 +111,7 @@ timed("animate (pack+refit)", stage_animate, batch)
 @jax.jit
 def stage_phase1(o, d, t, mn, mx):
     def f(i):
-        c, m, bb = _tile_candidates(
+        c, m, bb, *_ = _tile_candidates(
             o, d, t + i * 1e-12, mn, mx, cfg.ray_tile, cfg.sub_tiles, cfg.candidates
         )
         return jnp.sum(c) + jnp.sum(m) + jnp.sum(bb)
@@ -183,7 +183,7 @@ for name, (oo, dd, tt) in (("primary", (orig0, fan0, tmin0)), ("bounce", (o2, d2
         p = lp - a.shape[0]
         return jnp.concatenate([a, jnp.full((p,) + a.shape[1:], fill, a.dtype)])
 
-    c, m, bb = _tile_candidates(
+    c, m, bb, *_ = _tile_candidates(
         pad2(oo), pad2(dd), pad2(tt), sc0.aabb_mn, sc0.aabb_mx,
         cfg.ray_tile, cfg.sub_tiles, cfg.candidates,
     )

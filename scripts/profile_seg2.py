@@ -146,7 +146,7 @@ print(f"#   seg2 shading marginal: {(c - b) * 1000:.2f} ms/pulse")
 
 # --- phase-1 list statistics, seg-1 vs seg-2 inputs (one pulse) -------
 def p1_stats(tag, origin, direction, tmin):
-    cand, meta, bits = _tile_candidates(
+    cand, meta, bits, *_ = _tile_candidates(
         origin, direction, tmin, sc0.aabb_mn, sc0.aabb_mx,
         cfg.ray_tile, cfg.sub_tiles, cfg.candidates,
         cand_order=cfg.cand_order, p1_fanout=cfg.p1_fanout,

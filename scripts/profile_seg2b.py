@@ -153,7 +153,7 @@ def p1_stats(tag, origin, direction, tmin):
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
         direction = jnp.concatenate([direction, jnp.zeros((pad, 3), direction.dtype)])
         tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
-    cand, meta, bits = _tile_candidates(
+    cand, meta, bits, *_ = _tile_candidates(
         origin, direction, tmin, sc0.aabb_mn, sc0.aabb_mx,
         rt, cfg.sub_tiles, cfg.candidates,
         cand_order=cfg.cand_order, p1_fanout=cfg.p1_fanout,

@@ -249,6 +249,22 @@ def test_candidate_modes_agree():
                 np.asarray(getattr(out_m, f)), np.asarray(getattr(outs[64], f)),
                 err_msg=f"{f} cand_order=mask mt_group={g}",
             )
+    # running-best candidate-window prune: skipping windows whose nearest
+    # entry exceeds every row's current best can never drop a winner
+    # (strict-< RMW; floor-quantised entry only under-estimates) — must
+    # be BIT-identical across window modes, incl. the occluded sphere
+    # back face behind its front face in this scene
+    for g, un, tail in ((8, True, True), (4, True, False), (2, False, False), (1, True, False)):
+        out_pr = closest_hit_clustered(
+            o, d, tm, pack, mn, mx, cluster_size=CS, ray_tile=RT,
+            candidates=64, mt_group=g, mt_union=un, mt_tail=tail,
+            mt_prune=True, interpret=True,
+        )
+        for f in ("found", "t", "tri", "beta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_pr, f)), np.asarray(getattr(outs[64], f)),
+                err_msg=f"{f} mt_prune g={g} union={un} tail={tail}",
+            )
     # phase-1 hierarchy knobs: small supergroups / tight admission caps
     # must not change any hit — tiles admitting more supergroups than
     # p1_super_k overflow to the full hierarchical sweep (p1_super_k=1
@@ -315,7 +331,7 @@ def test_tile_candidates_match_exact_union():
     tmin = np.full(l, 0.005, np.float32)
     o, d, tmin = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin)
 
-    cand, meta, bits = _tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=c)
+    cand, meta, bits, _ent = _tile_candidates(o.T, d.T, tmin, mn, mx, rt, st, k_max=c)
     cand, meta, bits = np.asarray(cand), np.asarray(meta), np.asarray(bits)
     assert (meta[:, 1] == 0).all()  # k_max = c can never overflow
 
@@ -520,7 +536,7 @@ def test_supergroup_overflow_flags_tiles():
     o = np.tile(np.asarray([[-10.0, 0.0, 0.0]], np.float32), (l, 1))
     d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (l, 1))
     tmin = np.full(l, 0.005, np.float32)
-    cand, meta, _bits = _tile_candidates(
+    cand, meta, _bits, _e = _tile_candidates(
         jnp.asarray(o.T), jnp.asarray(d.T), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
@@ -530,7 +546,7 @@ def test_supergroup_overflow_flags_tiles():
     # perpendicular rays seeing only the first box: not flagged, exact
     d2 = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (l, 1))
     o2 = np.tile(np.asarray([[2.0, -5.0, 0.0]], np.float32), (l, 1))
-    cand2, meta2, _b2 = _tile_candidates(
+    cand2, meta2, _b2, _e2 = _tile_candidates(
         jnp.asarray(o2.T), jnp.asarray(d2.T), jnp.asarray(tmin),
         jnp.asarray(mn), jnp.asarray(mx), l, 4, k_max=64,
     )
