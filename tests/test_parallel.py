@@ -108,7 +108,7 @@ def test_sharded_mid_shape_caps_fire():
     Reference boundary: aggregation.cu:102-185."""
     import warnings
 
-    w = make_world(num_pulses=2, rotating=True, target_speed=50.0)
+    w = make_world(num_pulses=1, rotating=True, target_speed=50.0)
     params = Parameters(num_rays=15, max_refl_depth=2)
     knobs = dict(
         dtype=jnp.float32, accel="cluster", cluster_size=128, ray_tile=128,
@@ -121,7 +121,9 @@ def test_sharded_mid_shape_caps_fire():
     cnt_max = int(counts.max())
     assert cnt_max > 1, "scene must produce received lanes for caps to matter"
 
-    mesh = make_mesh(2, 3)  # 15^3 = 3375 lanes -> 1125 per ray shard
+    # ray sharding is the axis that stresses the cap paths (regather +
+    # compaction); pulse sharding is covered by the other tests here
+    mesh = make_mesh(1, 3)  # 15^3 = 3375 lanes -> 1125 per ray shard
     for cap in (max(1, cnt_max // 2), cnt_max + 4):
         base, batch, cfg, spec = prepare_cpi(
             w, params, **knobs, replay_cap=cap, agg_cap=cap,
