@@ -33,8 +33,12 @@ import time
 _SCENE_DEFAULTS = {
     # mt_prune: running-best window prune — +34% on shells (front faces
     # occlude back faces + farther spheres; docs/PERF.md r5d), ~neutral
-    # on terrain (kept off there).
+    # on terrain (kept off there).  The single-sphere scene is a shell
+    # too: shell knobs + prune measured 5.40e6 vs 3.25e6 on the terrain
+    # knobs (r5f/r5g).
     "moving": dict(cluster_size=1024, candidates=128, mt_group=1,
+                   p1_fanout=16, p1_super_k=32, mt_prune=True),
+    "sphere": dict(cluster_size=1024, candidates=128, mt_group=1,
                    p1_fanout=16, p1_super_k=32, mt_prune=True),
 }
 _BASE_DEFAULTS = dict(cluster_size=128, candidates=48, mt_group=8,
