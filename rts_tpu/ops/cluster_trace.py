@@ -1319,6 +1319,13 @@ def closest_hit_clustered(
             origin, direction, tmin, aabb_mn, aabb_mx, rt, sub_tiles, candidates,
             cand_order, p1_fanout, p1_super_k, p1_fanout0, p1_super_k0,
         )
+        if not mt_prune:
+            # the kernel never reads ent_ref without the prune (static
+            # flag): a 1-wide dummy keeps the operand layout while XLA
+            # dead-code-eliminates the phase-1 entq build and the SMEM
+            # table transfer — the always-present table cost the terrain
+            # headline ~1% (docs/PERF.md r5f)
+            ent = jnp.zeros((cand.shape[0], 1), jnp.int32)
         k_width = candidates
         if resident:
             # RESIDENT live-cluster pack (docs/PERF.md "r4 successor-family
@@ -1521,8 +1528,9 @@ def closest_hit_clustered(
     # Packed footprint: cand+bits pay 512 B per tpr tiles each, meta
     # 512 B per 64 tiles (SMEM rows are 128 int32 whatever the width).
     tpr_c = max(1, 128 // k_width)
-    # cand + bits + ent each pay 512 B per tpr tiles; meta 8 B/tile
-    per_tile_bytes = 1536 // tpr_c + 8
+    # cand + bits (+ ent under mt_prune) pay 512 B per tpr tiles each;
+    # the prune-off dummy ent is 1-wide (4 B/tile); meta 8 B/tile
+    per_tile_bytes = (1536 // tpr_c if mt_prune else 1024 // tpr_c + 4) + 8
     max_tiles = max(1, _SMEM_LIST_BUDGET // per_tile_bytes)
     if n_tiles > max_tiles:
         parts = []
